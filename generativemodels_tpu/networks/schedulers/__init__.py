@@ -1,0 +1,17 @@
+from .ddim import DDIMPredictionType, DDIMScheduler
+from .ddpm import DDPMPredictionType, DDPMScheduler, DDPMVarianceType
+from .pndm import PNDMPredictionType, PNDMScheduler, PNDMState
+from .scheduler import NoiseSchedules, Scheduler
+
+__all__ = [
+    "DDIMPredictionType",
+    "DDIMScheduler",
+    "DDPMPredictionType",
+    "DDPMScheduler",
+    "DDPMVarianceType",
+    "PNDMPredictionType",
+    "PNDMScheduler",
+    "PNDMState",
+    "NoiseSchedules",
+    "Scheduler",
+]

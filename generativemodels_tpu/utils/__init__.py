@@ -1,0 +1,22 @@
+from .component_store import ComponentStore
+from .enums import (
+    AdversarialIterationEvents,
+    AdversarialKeys,
+    OrderingTransformations,
+    OrderingType,
+    StrEnum,
+)
+from .misc import unsqueeze_left, unsqueeze_right
+from .ordering import Ordering
+
+__all__ = [
+    "ComponentStore",
+    "AdversarialIterationEvents",
+    "AdversarialKeys",
+    "OrderingTransformations",
+    "OrderingType",
+    "StrEnum",
+    "unsqueeze_left",
+    "unsqueeze_right",
+    "Ordering",
+]

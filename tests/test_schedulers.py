@@ -1,0 +1,235 @@
+"""Scheduler unit + golden-parity tests.
+
+Mirrors the reference test strategy (tests/test_scheduler_ddpm.py,
+test_scheduler_ddim.py, test_scheduler_pndm.py: shape checks, set_timesteps
+bounds, learned-variance split) and adds direct numerical parity against the
+PyTorch reference implementation imported from /root/reference.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from generativemodels_tpu.networks.schedulers import (
+    DDIMScheduler,
+    DDPMScheduler,
+    NoiseSchedules,
+    PNDMScheduler,
+)
+
+from .ref_loader import load_reference_schedulers
+
+ref_schedulers = load_reference_schedulers()
+needs_ref = pytest.mark.skipif(ref_schedulers is None, reason="reference not importable")
+
+
+def _rand(shape, seed=0):
+    return np.random.RandomState(seed).standard_normal(shape).astype(np.float32)
+
+
+class TestNoiseSchedules:
+    def test_registry_members(self):
+        for name in ("linear_beta", "scaled_linear_beta", "sigmoid_beta", "cosine"):
+            assert name in NoiseSchedules
+
+    def test_custom_schedule(self):
+        @NoiseSchedules.add_def("test_schedule", "test")
+        def _sched(num_train_timesteps, value=0.01):
+            return jnp.full((num_train_timesteps,), value)
+
+        s = DDPMScheduler(num_train_timesteps=10, schedule="test_schedule", value=0.02)
+        assert np.allclose(np.asarray(s.betas), 0.02)
+
+
+class TestDDPM:
+    def test_add_noise_shape(self):
+        s = DDPMScheduler(num_train_timesteps=1000)
+        x0 = jnp.asarray(_rand((2, 1, 8, 8)))
+        noise = jnp.asarray(_rand((2, 1, 8, 8), 1))
+        t = jnp.asarray([2, 500])
+        out = s.add_noise(x0, noise, t)
+        assert out.shape == x0.shape
+
+    def test_step_shape_and_determinism(self):
+        s = DDPMScheduler(num_train_timesteps=1000)
+        model_out = jnp.asarray(_rand((2, 1, 8, 8)))
+        sample = jnp.asarray(_rand((2, 1, 8, 8), 1))
+        prev, x0 = s.step(model_out, 500, sample, key=jax.random.PRNGKey(0))
+        assert prev.shape == sample.shape and x0.shape == sample.shape
+        prev2, _ = s.step(model_out, 500, sample, key=jax.random.PRNGKey(0))
+        assert np.allclose(prev, prev2)
+
+    def test_set_timesteps_bounds(self):
+        s = DDPMScheduler(num_train_timesteps=1000)
+        s.set_timesteps(100)
+        assert s.num_inference_steps == 100
+        assert len(s.timesteps) == 100
+        with pytest.raises(ValueError):
+            s.set_timesteps(2000)
+
+    def test_learned_variance_split(self):
+        s = DDPMScheduler(num_train_timesteps=1000, variance_type="learned_range")
+        model_out = jnp.asarray(_rand((2, 6, 8, 8)))
+        sample = jnp.asarray(_rand((2, 3, 8, 8), 1))
+        prev, x0 = s.step(model_out, 500, sample, key=jax.random.PRNGKey(0))
+        assert prev.shape == sample.shape
+
+    @needs_ref
+    @pytest.mark.parametrize("schedule", ["linear_beta", "scaled_linear_beta", "sigmoid_beta", "cosine"])
+    def test_schedule_tables_match_reference(self, schedule):
+        import torch
+
+        ours = DDPMScheduler(num_train_timesteps=100, schedule=schedule)
+        theirs = ref_schedulers.DDPMScheduler(num_train_timesteps=100, schedule=schedule)
+        # atol floor: betas ~1e-4..2e-2 come from 1-ratio cancellation in f32
+        np.testing.assert_allclose(
+            np.asarray(ours.betas), theirs.betas.numpy(), rtol=2e-5, atol=2e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.alphas_cumprod), theirs.alphas_cumprod.numpy(), rtol=2e-5, atol=1e-7
+        )
+
+    @needs_ref
+    @pytest.mark.parametrize("prediction_type", ["epsilon", "sample", "v_prediction"])
+    def test_step_matches_reference(self, prediction_type):
+        import torch
+
+        ours = DDPMScheduler(num_train_timesteps=1000, prediction_type=prediction_type)
+        theirs = ref_schedulers.DDPMScheduler(num_train_timesteps=1000, prediction_type=prediction_type)
+        model_out = _rand((2, 1, 8, 8))
+        sample = _rand((2, 1, 8, 8), 1)
+        for t in (999, 500, 250, 1, 0):
+            # compare deterministic part: disable noise by passing key=None
+            prev_j, x0_j = ours.step(jnp.asarray(model_out), t, jnp.asarray(sample), key=None)
+            torch.manual_seed(0)
+            prev_t, x0_t = theirs.step(torch.from_numpy(model_out), t, torch.from_numpy(sample))
+            if t == 0:
+                np.testing.assert_allclose(np.asarray(prev_j), prev_t.numpy(), rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(x0_j), x0_t.numpy(), rtol=1e-4, atol=1e-5)
+
+    @needs_ref
+    def test_add_noise_and_velocity_match_reference(self):
+        import torch
+
+        ours = DDPMScheduler(num_train_timesteps=1000)
+        theirs = ref_schedulers.DDPMScheduler(num_train_timesteps=1000)
+        x0, noise = _rand((2, 1, 8, 8)), _rand((2, 1, 8, 8), 1)
+        ts = np.array([0, 999])
+        np.testing.assert_allclose(
+            np.asarray(ours.add_noise(jnp.asarray(x0), jnp.asarray(noise), jnp.asarray(ts))),
+            theirs.add_noise(torch.from_numpy(x0), torch.from_numpy(noise), torch.from_numpy(ts)).numpy(),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.get_velocity(jnp.asarray(x0), jnp.asarray(noise), jnp.asarray(ts))),
+            theirs.get_velocity(torch.from_numpy(x0), torch.from_numpy(noise), torch.from_numpy(ts)).numpy(),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+class TestDDIM:
+    def test_step_shapes(self):
+        s = DDIMScheduler(num_train_timesteps=1000)
+        s.set_timesteps(50)
+        model_out = jnp.asarray(_rand((2, 1, 8, 8)))
+        sample = jnp.asarray(_rand((2, 1, 8, 8), 1))
+        prev, x0 = s.step(model_out, int(s.timesteps[0]), sample)
+        assert prev.shape == sample.shape
+        nxt, x0 = s.reversed_step(model_out, 0, sample)
+        assert nxt.shape == sample.shape
+
+    @needs_ref
+    @pytest.mark.parametrize("prediction_type", ["epsilon", "sample", "v_prediction"])
+    @pytest.mark.parametrize("num_inference_steps", [10, 50])
+    def test_step_matches_reference(self, prediction_type, num_inference_steps):
+        import torch
+
+        ours = DDIMScheduler(num_train_timesteps=1000, prediction_type=prediction_type)
+        theirs = ref_schedulers.DDIMScheduler(num_train_timesteps=1000, prediction_type=prediction_type)
+        ours.set_timesteps(num_inference_steps)
+        theirs.set_timesteps(num_inference_steps)
+        np.testing.assert_array_equal(ours.timesteps, theirs.timesteps.numpy())
+        model_out = _rand((2, 1, 8, 8))
+        sample = _rand((2, 1, 8, 8), 1)
+        for t in [int(x) for x in ours.timesteps[[0, len(ours.timesteps) // 2, -1]]]:
+            prev_j, x0_j = ours.step(jnp.asarray(model_out), t, jnp.asarray(sample), eta=0.0)
+            prev_t, x0_t = theirs.step(torch.from_numpy(model_out), t, torch.from_numpy(sample), eta=0.0)
+            np.testing.assert_allclose(np.asarray(prev_j), prev_t.numpy(), rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(x0_j), x0_t.numpy(), rtol=1e-4, atol=1e-5)
+
+    @needs_ref
+    def test_reversed_step_matches_reference(self):
+        import torch
+
+        ours = DDIMScheduler(num_train_timesteps=1000)
+        theirs = ref_schedulers.DDIMScheduler(num_train_timesteps=1000)
+        ours.set_timesteps(50)
+        theirs.set_timesteps(50)
+        model_out = _rand((2, 1, 8, 8))
+        sample = _rand((2, 1, 8, 8), 1)
+        for t in (0, 100, 500):
+            nxt_j, x0_j = ours.reversed_step(jnp.asarray(model_out), t, jnp.asarray(sample))
+            nxt_t, x0_t = theirs.reversed_step(torch.from_numpy(model_out), t, torch.from_numpy(sample))
+            np.testing.assert_allclose(np.asarray(nxt_j), nxt_t.numpy(), rtol=1e-4, atol=1e-5)
+
+
+class TestPNDM:
+    @pytest.mark.parametrize("skip_prk_steps", [True, False])
+    def test_full_loop_shapes(self, skip_prk_steps):
+        s = PNDMScheduler(num_train_timesteps=1000, skip_prk_steps=skip_prk_steps)
+        s.set_timesteps(10)
+        sample = jnp.asarray(_rand((2, 1, 8, 8)))
+        state = s.init_state(sample.shape)
+        for t in s.timesteps:
+            model_out = sample * 0.1
+            sample, state = s.step(state, model_out, int(t), sample)
+        assert sample.shape == (2, 1, 8, 8)
+        assert int(state.counter) == len(s.timesteps)
+
+    @needs_ref
+    @pytest.mark.parametrize("skip_prk_steps", [True, False])
+    def test_trajectory_matches_reference(self, skip_prk_steps):
+        import torch
+
+        ours = PNDMScheduler(num_train_timesteps=1000, skip_prk_steps=skip_prk_steps)
+        theirs = ref_schedulers.PNDMScheduler(num_train_timesteps=1000, skip_prk_steps=skip_prk_steps)
+        ours.set_timesteps(10)
+        theirs.set_timesteps(10)
+        np.testing.assert_array_equal(ours.timesteps, theirs.timesteps.numpy())
+
+        sample_np = _rand((1, 1, 4, 4))
+        sample_j = jnp.asarray(sample_np)
+        sample_t = torch.from_numpy(sample_np.copy())
+        state = ours.init_state(sample_j.shape)
+        # fake model: deterministic function of the sample so trajectories couple
+        for t in ours.timesteps:
+            mo_j = sample_j * 0.05 + 0.01
+            mo_t = sample_t * 0.05 + 0.01
+            sample_j, state = ours.step(state, mo_j, int(t), sample_j)
+            sample_t, _ = theirs.step(mo_t, int(t), sample_t)
+            np.testing.assert_allclose(
+                np.asarray(sample_j), sample_t.numpy(), rtol=2e-4, atol=1e-5
+            )
+
+    def test_scan_compatible(self):
+        """The whole PNDM loop must compile into a single lax.scan."""
+        s = PNDMScheduler(num_train_timesteps=1000, skip_prk_steps=True)
+        s.set_timesteps(10)
+        sample = jnp.asarray(_rand((1, 1, 4, 4)))
+
+        def body(carry, t):
+            x, state = carry
+            mo = x * 0.05 + 0.01
+            x, state = s.step(state, mo, t, x)
+            return (x, state), None
+
+        (final_scan, _), _ = jax.lax.scan(
+            body, (sample, s.init_state(sample.shape)), jnp.asarray(s.timesteps)
+        )
+
+        x, state = sample, s.init_state(sample.shape)
+        for t in s.timesteps:
+            mo = x * 0.05 + 0.01
+            x, state = s.step(state, mo, int(t), x)
+        np.testing.assert_allclose(np.asarray(final_scan), np.asarray(x), rtol=1e-5, atol=1e-6)
