@@ -1,0 +1,151 @@
+"""N-D convolution wrappers, channels-last, with torch-style padding arithmetic.
+
+These provide the subset of MONAI `Convolution` behavior the reference
+actually uses (conv_only, strides, dilation, transposed, explicit symmetric
+padding) — see SURVEY.md §7. Internally everything is channels-last
+(B, *spatial, C), the native TPU layout; the public model classes transpose
+once at their boundary.
+
+Torch-parity note: strided convs use *explicit* padding tuples rather than
+XLA 'SAME' so output placement matches torch's floor((n + 2p - k)/s) + 1
+arithmetic (relevant for stride-2 downsampling on even sizes).
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+
+def _tuple(v, n: int) -> tuple:
+    if isinstance(v, (list, tuple)):
+        if len(v) != n:
+            raise ValueError(f"expected length-{n} tuple, got {v}")
+        return tuple(v)
+    return (v,) * n
+
+
+class ConvND(nn.Module):
+    """Channels-last convolution over `spatial_dims` spatial axes.
+
+    Args:
+        spatial_dims: 1, 2 or 3.
+        features: output channels.
+        kernel_size: int or per-axis tuple.
+        strides: int or per-axis tuple.
+        padding: int or per-axis tuple of symmetric padding (torch-style).
+        dilation: int or per-axis tuple.
+        use_bias: add a bias term.
+        zero_init: initialise kernel (and bias) to zero — used for the
+            zero-modules of diffusion nets (reference zero_module,
+            diffusion_model_unet.py:63-69).
+    """
+
+    spatial_dims: int
+    features: int
+    kernel_size: int | Sequence[int] = 3
+    strides: int | Sequence[int] = 1
+    padding: int | Sequence[int] | str = 0
+    dilation: int | Sequence[int] = 1
+    use_bias: bool = True
+    zero_init: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = self.spatial_dims
+        if isinstance(self.padding, str):
+            padding = self.padding
+        else:
+            padding = [(p, p) for p in _tuple(self.padding, n)]
+        kernel_init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Conv(
+            features=self.features,
+            kernel_size=_tuple(self.kernel_size, n),
+            strides=_tuple(self.strides, n),
+            padding=padding,
+            kernel_dilation=_tuple(self.dilation, n),
+            use_bias=self.use_bias,
+            kernel_init=kernel_init,
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvTransposeND(nn.Module):
+    """Channels-last transposed convolution with torch output arithmetic.
+
+    Output size per axis: (n-1)*stride - 2*padding + dilation*(k-1) + 1
+    + output_padding, matching torch.nn.ConvTranspose{1,2,3}d (used by the
+    VQVAE decoder, reference vqvae.py:173-271).
+    """
+
+    spatial_dims: int
+    features: int
+    kernel_size: int | Sequence[int] = 3
+    strides: int | Sequence[int] = 1
+    padding: int | Sequence[int] = 0
+    output_padding: int | Sequence[int] = 0
+    dilation: int | Sequence[int] = 1
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = self.spatial_dims
+        k = _tuple(self.kernel_size, n)
+        s = _tuple(self.strides, n)
+        p = _tuple(self.padding, n)
+        op = _tuple(self.output_padding, n)
+        d = _tuple(self.dilation, n)
+
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*k, in_features, self.features),
+            jnp.float32,
+        )
+        # lax.conv_transpose with explicit padding: torch's semantics are
+        # pad_lo = dilation*(k-1) - padding, pad_hi = pad_lo + output_padding
+        pad = [
+            (d[i] * (k[i] - 1) - p[i], d[i] * (k[i] - 1) - p[i] + op[i]) for i in range(n)
+        ]
+        dn = lax.conv_dimension_numbers(
+            x.shape, kernel.shape, _dim_numbers(n)
+        )
+        y = lax.conv_transpose(
+            x.astype(self.dtype or x.dtype),
+            kernel.astype(self.dtype or x.dtype),
+            strides=s,
+            padding=pad,
+            rhs_dilation=d,
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def _dim_numbers(n: int) -> tuple[str, str, str]:
+    sp = "DHW"[-n:]
+    return (f"N{sp}C", f"{sp}IO", f"N{sp}C")
+
+
+def avg_pool(x: jnp.ndarray, window: int, stride: int | None = None) -> jnp.ndarray:
+    """Average pooling over the spatial axes of (B, *spatial, C)."""
+    n = x.ndim - 2
+    stride = stride or window
+    dims = (1,) + (window,) * n + (1,)
+    strides = (1,) + (stride,) * n + (1,)
+    summed = lax.reduce_window(x, 0.0, lax.add, dims, strides, "VALID")
+    return summed / float(window**n)
+
+
+def upsample_nearest(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """Nearest-neighbour x`scale` upsampling of (B, *spatial, C)."""
+    for axis in range(1, x.ndim - 1):
+        x = jnp.repeat(x, scale, axis=axis)
+    return x

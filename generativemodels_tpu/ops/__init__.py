@@ -1,0 +1,5 @@
+from .attention import dot_product_attention
+from .embeddings import get_timestep_embedding
+from .flash_attention import flash_attention
+
+__all__ = ["dot_product_attention", "get_timestep_embedding", "flash_attention"]

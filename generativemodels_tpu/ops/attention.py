@@ -1,0 +1,86 @@
+"""Multi-head attention dispatcher: XLA einsum path or Pallas flash path.
+
+Reference parity: the manual softmax attention in
+generative/networks/nets/diffusion_model_unet.py:137-154 (CrossAttention
+._attention, incl. the `upcast_attention` fp32 island) and
+generative/networks/blocks/selfattention.py:127-142, with the xformers
+memory-efficient path replaced by the Pallas flash kernel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import flash_attention
+
+# sequence length below which the fused-XLA einsum path is always used
+_FLASH_MIN_SEQ = 1024
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+    upcast: bool = False,
+    use_flash: bool | None = None,
+) -> jnp.ndarray:
+    """Multi-head attention over packed (B, S, H*D) tensors.
+
+    Args:
+        q: (B, Sq, inner_dim); k, v: (B, Sk, inner_dim).
+        num_heads: number of attention heads H (inner_dim = H * D).
+        scale: softmax scale; defaults to 1/sqrt(D).
+        causal: lower-triangular mask (autoregressive decoding).
+        upcast: force fp32 scores (reference `upcast_attention` flag).
+        use_flash: True forces the Pallas kernel, False forces einsum,
+            None auto-selects (TPU and long sequences).
+
+    Returns:
+        (B, Sq, inner_dim) in q.dtype.
+    """
+    b, sq, inner = q.shape
+    sk = k.shape[1]
+    head_dim = inner // num_heads
+    if scale is None:
+        scale = 1.0 / (head_dim**0.5)
+
+    if use_flash is None:
+        use_flash = _on_tpu() and sq >= _FLASH_MIN_SEQ and head_dim <= 256
+
+    qh = q.reshape(b, sq, num_heads, head_dim)
+    kh = k.reshape(b, sk, num_heads, head_dim)
+    vh = v.reshape(b, sk, num_heads, head_dim)
+
+    if use_flash:
+        qf = qh.transpose(0, 2, 1, 3).reshape(b * num_heads, sq, head_dim)
+        kf = kh.transpose(0, 2, 1, 3).reshape(b * num_heads, sk, head_dim)
+        vf = vh.transpose(0, 2, 1, 3).reshape(b * num_heads, sk, head_dim)
+        out = flash_attention(
+            qf, kf, vf, scale=scale, causal=causal, interpret=not _on_tpu()
+        )
+        out = out.reshape(b, num_heads, sq, head_dim).transpose(0, 2, 1, 3)
+        return out.reshape(b, sq, inner)
+
+    dtype = q.dtype
+    if upcast:
+        qh = qh.astype(jnp.float32)
+        kh = kh.astype(jnp.float32)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+    if causal:
+        mask = jnp.tril(jnp.ones((sq, sk), dtype=bool))
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh.astype(dtype))
+    return out.reshape(b, sq, inner)

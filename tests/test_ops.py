@@ -1,0 +1,74 @@
+"""Tests for ops: attention paths (einsum vs Pallas flash) and embeddings."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from generativemodels_tpu.ops import dot_product_attention, flash_attention, get_timestep_embedding
+
+
+class TestTimestepEmbedding:
+    def test_shape_and_layout(self):
+        emb = get_timestep_embedding(jnp.array([0, 10, 100]), 64)
+        assert emb.shape == (3, 64)
+        # t=0: cos part == 1, sin part == 0
+        np.testing.assert_allclose(np.asarray(emb[0, :32]), 1.0)
+        np.testing.assert_allclose(np.asarray(emb[0, 32:]), 0.0)
+
+    def test_odd_dim_padded(self):
+        emb = get_timestep_embedding(jnp.array([3]), 7)
+        assert emb.shape == (1, 7)
+        assert float(emb[0, -1]) == 0.0
+
+    def test_requires_1d(self):
+        with pytest.raises(ValueError):
+            get_timestep_embedding(jnp.zeros((2, 2)), 8)
+
+
+class TestAttention:
+    def _qkv(self, b=2, sq=64, sk=64, c=32, seed=0):
+        rng = np.random.RandomState(seed)
+        return (
+            jnp.asarray(rng.standard_normal((b, sq, c)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((b, sk, c)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((b, sk, c)).astype(np.float32)),
+        )
+
+    def test_einsum_self_attention_matches_naive(self):
+        q, k, v = self._qkv()
+        out = dot_product_attention(q, k, v, num_heads=1, use_flash=False)
+        scores = jnp.einsum("bqc,bkc->bqk", q, k) / np.sqrt(32)
+        expected = jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(scores, -1), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("heads", [1, 4])
+    def test_flash_matches_einsum(self, causal, heads):
+        q, k, v = self._qkv(b=1, sq=160, sk=160, c=32)
+        ref = dot_product_attention(q, k, v, num_heads=heads, causal=causal, use_flash=False)
+        out = dot_product_attention(q, k, v, num_heads=heads, causal=causal, use_flash=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    def test_flash_cross_attention_unequal_lengths(self):
+        q, k, v = self._qkv(b=1, sq=140, sk=77, c=32)
+        ref = dot_product_attention(q, k, v, num_heads=2, use_flash=False)
+        out = dot_product_attention(q, k, v, num_heads=2, use_flash=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    def test_flash_kernel_direct(self):
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.standard_normal((2, 256, 64)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 256, 64)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 256, 64)).astype(np.float32))
+        scale = 1 / 8.0
+        out = flash_attention(q, k, v, scale=scale, interpret=True)
+        scores = jnp.einsum("bqc,bkc->bqk", q, k) * scale
+        expected = jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(scores, -1), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-4, atol=2e-5)
+
+    def test_upcast_matches(self):
+        q, k, v = self._qkv()
+        a = dot_product_attention(q, k, v, num_heads=2, use_flash=False, upcast=True)
+        b = dot_product_attention(q, k, v, num_heads=2, use_flash=False, upcast=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
