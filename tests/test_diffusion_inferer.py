@@ -1,0 +1,238 @@
+"""End-to-end DiffusionInferer tests with tiny real models, T=10 on CPU.
+
+Mirrors reference tests/test_diffusion_inferer.py:53-150 (train forward,
+sample with/without intermediates, DDPM vs DDIM vs PNDM, conditioned
+sampling in crossattn and concat modes, likelihood).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from generativemodels_tpu.inferers import DiffusionInferer
+from generativemodels_tpu.networks.nets import DiffusionModelUNet
+from generativemodels_tpu.networks.schedulers import DDIMScheduler, DDPMScheduler, PNDMScheduler
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = DiffusionModelUNet(
+        spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+        num_channels=(8, 8), attention_levels=(False, True), norm_num_groups=8,
+        num_head_channels=8,
+    )
+    x = jnp.zeros((2, 1, 16, 16))
+    variables = model.init(jax.random.PRNGKey(42), x, jnp.array([0, 0]))
+
+    def fn(x, timesteps, context=None):
+        return model.apply(variables, x, timesteps, context=context)
+
+    return fn
+
+
+@pytest.fixture(scope="module")
+def tiny_cond_model():
+    model = DiffusionModelUNet(
+        spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+        num_channels=(8, 8), attention_levels=(False, True), norm_num_groups=8,
+        num_head_channels=8, with_conditioning=True, cross_attention_dim=3,
+    )
+    x = jnp.zeros((2, 1, 16, 16))
+    variables = model.init(
+        jax.random.PRNGKey(42), x, jnp.array([0, 0]), context=jnp.zeros((2, 1, 3))
+    )
+
+    def fn(x, timesteps, context=None):
+        return model.apply(variables, x, timesteps, context=context)
+
+    return fn
+
+
+@pytest.fixture(scope="module")
+def tiny_concat_model():
+    model = DiffusionModelUNet(
+        spatial_dims=2, in_channels=2, out_channels=1, num_res_blocks=1,
+        num_channels=(8, 8), attention_levels=(False, False), norm_num_groups=8,
+    )
+    x = jnp.zeros((2, 2, 16, 16))
+    variables = model.init(jax.random.PRNGKey(42), x, jnp.array([0, 0]))
+
+    def fn(x, timesteps, context=None):
+        return model.apply(variables, x, timesteps, context=context)
+
+    return fn
+
+
+class TestTrainForward:
+    def test_call_shape(self, tiny_model):
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        inferer = DiffusionInferer(scheduler)
+        inputs = jnp.zeros((2, 1, 16, 16))
+        noise = jnp.ones((2, 1, 16, 16))
+        timesteps = jnp.array([2, 5])
+        pred = inferer(inputs, tiny_model, noise, timesteps)
+        assert pred.shape == inputs.shape
+
+    def test_concat_mode(self, tiny_concat_model):
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        inferer = DiffusionInferer(scheduler)
+        inputs = jnp.zeros((2, 1, 16, 16))
+        noise = jnp.ones((2, 1, 16, 16))
+        cond = jnp.ones((2, 1, 16, 16))
+        pred = inferer(inputs, tiny_concat_model, noise, jnp.array([2, 5]),
+                       condition=cond, mode="concat")
+        assert pred.shape == inputs.shape
+
+    def test_bad_mode(self, tiny_model):
+        inferer = DiffusionInferer(DDPMScheduler(num_train_timesteps=10))
+        with pytest.raises(NotImplementedError):
+            inferer(jnp.zeros((2, 1, 16, 16)), tiny_model, jnp.zeros((2, 1, 16, 16)),
+                    jnp.array([2, 5]), mode="bogus")
+
+
+class TestSample:
+    @pytest.mark.parametrize("scheduler_cls", [DDPMScheduler, DDIMScheduler, PNDMScheduler])
+    def test_sample_shape(self, tiny_model, scheduler_cls):
+        scheduler = scheduler_cls(num_train_timesteps=10)
+        scheduler.set_timesteps(10)
+        inferer = DiffusionInferer(scheduler)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16, 16))
+        sample = inferer.sample(noise, tiny_model, key=jax.random.PRNGKey(1))
+        assert sample.shape == noise.shape
+        assert bool(jnp.isfinite(sample).all())
+
+    def test_sample_intermediates(self, tiny_model):
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        inferer = DiffusionInferer(scheduler)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16, 16))
+        sample, intermediates = inferer.sample(
+            noise, tiny_model, save_intermediates=True, intermediate_steps=2,
+            key=jax.random.PRNGKey(1),
+        )
+        # t in 9..0, saved when t % 2 == 0 -> t = 8,6,4,2,0
+        assert len(intermediates) == 5
+        np.testing.assert_allclose(np.asarray(sample), np.asarray(intermediates[-1]))
+
+    def test_scan_matches_python_loop(self, tiny_model):
+        """The scan path must agree with the host-loop path step for step."""
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        inferer = DiffusionInferer(scheduler)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16, 16))
+        fast = inferer.sample(noise, tiny_model, key=jax.random.PRNGKey(7))
+        slow, _ = inferer.sample(
+            noise, tiny_model, save_intermediates=True, intermediate_steps=1,
+            key=jax.random.PRNGKey(7),
+        )
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), rtol=1e-5, atol=1e-6)
+
+    def test_conditioned_sample_crossattn(self, tiny_cond_model):
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        inferer = DiffusionInferer(scheduler)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16, 16))
+        sample = inferer.sample(
+            noise, tiny_cond_model, conditioning=jnp.ones((1, 1, 3)),
+            key=jax.random.PRNGKey(1),
+        )
+        assert sample.shape == noise.shape
+
+    def test_conditioned_sample_concat(self, tiny_concat_model):
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        inferer = DiffusionInferer(scheduler)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16, 16))
+        sample = inferer.sample(
+            noise, tiny_concat_model, conditioning=jnp.ones((1, 1, 16, 16)),
+            mode="concat", key=jax.random.PRNGKey(1),
+        )
+        assert sample.shape == noise.shape
+
+    def test_ddim_deterministic(self, tiny_model):
+        scheduler = DDIMScheduler(num_train_timesteps=10)
+        scheduler.set_timesteps(10)
+        inferer = DiffusionInferer(scheduler)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16, 16))
+        s1 = inferer.sample(noise, tiny_model, key=jax.random.PRNGKey(1))
+        s2 = inferer.sample(noise, tiny_model, key=jax.random.PRNGKey(2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+class TestLikelihood:
+    def test_likelihood_shape(self, tiny_model):
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        inferer = DiffusionInferer(scheduler)
+        inputs = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 16, 16)) * 2 - 1
+        ll = inferer.get_likelihood(inputs, tiny_model, key=jax.random.PRNGKey(1))
+        assert ll.shape == (2,)
+        assert bool(jnp.isfinite(ll).all())
+
+    def test_likelihood_intermediates(self, tiny_model):
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        inferer = DiffusionInferer(scheduler)
+        inputs = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 16, 16)) * 2 - 1
+        ll, maps = inferer.get_likelihood(
+            inputs, tiny_model, save_intermediates=True, key=jax.random.PRNGKey(1)
+        )
+        assert len(maps) == 10
+        assert maps[0].shape == inputs.shape
+
+    def test_scan_matches_loop(self, tiny_model):
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        inferer = DiffusionInferer(scheduler)
+        inputs = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 16, 16)) * 2 - 1
+        fast = inferer.get_likelihood(inputs, tiny_model, key=jax.random.PRNGKey(1))
+        slow, _ = inferer.get_likelihood(
+            inputs, tiny_model, save_intermediates=True, key=jax.random.PRNGKey(1)
+        )
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), rtol=1e-4, atol=1e-5)
+
+    def test_ddim_rejected(self, tiny_model):
+        inferer = DiffusionInferer(DDIMScheduler(num_train_timesteps=10))
+        with pytest.raises(NotImplementedError):
+            inferer.get_likelihood(jnp.zeros((1, 1, 16, 16)), tiny_model)
+
+
+class TestTrainStep:
+    def test_jitted_train_step_decreases_loss(self):
+        """Minimal training slice: jitted MSE-on-noise step with optax."""
+        import optax
+
+        model = DiffusionModelUNet(
+            spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, False), norm_num_groups=8,
+        )
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        inferer = DiffusionInferer(scheduler)
+        x0 = jnp.zeros((4, 1, 16, 16))
+        variables = model.init(jax.random.PRNGKey(0), x0, jnp.array([0] * 4))
+        params = variables["params"]
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        images = jax.random.uniform(jax.random.PRNGKey(3), (4, 1, 16, 16)) * 2 - 1
+
+        @jax.jit
+        def train_step(params, opt_state, key):
+            knoise, kt = jax.random.split(key)
+            noise = jax.random.normal(knoise, images.shape)
+            timesteps = jax.random.randint(kt, (images.shape[0],), 0, 100)
+
+            def loss_fn(p):
+                pred = inferer(
+                    images,
+                    lambda x, t, context=None: model.apply({"params": p}, x, t, context=context),
+                    noise,
+                    timesteps,
+                )
+                return jnp.mean((pred - noise) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(30):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = train_step(params, opt_state, sub)
+            losses.append(float(loss))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
