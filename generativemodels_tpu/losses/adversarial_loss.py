@@ -1,0 +1,100 @@
+"""Patch adversarial loss (BCE / hinge / least-squares).
+
+Reference parity: generative/losses/adversarial_loss.py:29-170
+(PatchAdversarialLoss with criterion-specific activations, generator-mode
+target forcing, hinge = -mean(min(+/-D - 1, 0)), and single or multi-scale
+discriminator output lists).
+"""
+from __future__ import annotations
+
+import warnings
+
+import jax.nn
+import jax.numpy as jnp
+
+from ..utils import StrEnum
+
+
+class AdversarialCriterions(StrEnum):
+    BCE = "bce"
+    HINGE = "hinge"
+    LEAST_SQUARE = "least_squares"
+
+
+class PatchAdversarialLoss:
+    """Adversarial loss over raw (pre-activation) discriminator outputs.
+
+    Args:
+        reduction: "none" | "mean" | "sum" over the per-discriminator losses.
+        criterion: "bce" | "hinge" | "least_squares".
+        no_activation_leastsq: drop the leaky-relu pre-activation for LSGAN.
+    """
+
+    def __init__(
+        self,
+        reduction: str = "mean",
+        criterion: str = AdversarialCriterions.LEAST_SQUARE.value,
+        no_activation_leastsq: bool = False,
+    ) -> None:
+        if criterion.lower() not in [m.value for m in AdversarialCriterions]:
+            raise ValueError(
+                "Unrecognised criterion entered for Adversarial Loss. Must be one in: %s"
+                % ", ".join([m.value for m in AdversarialCriterions])
+            )
+        if reduction not in ("none", "mean", "sum"):
+            raise ValueError("reduction must be one of 'none', 'mean', 'sum'")
+
+        self.real_label = 1.0
+        self.fake_label = 0.0
+        self.activation = None
+        if criterion == AdversarialCriterions.BCE.value:
+            self.activation = jax.nn.sigmoid
+        elif criterion == AdversarialCriterions.HINGE.value:
+            self.activation = jnp.tanh
+            self.fake_label = -1.0
+        elif criterion == AdversarialCriterions.LEAST_SQUARE.value:
+            if not no_activation_leastsq:
+                self.activation = lambda x: jax.nn.leaky_relu(x, 0.05)
+
+        self.criterion = criterion
+        self.reduction = reduction
+
+    def _single(self, disc_out: jnp.ndarray, target_is_real: bool) -> jnp.ndarray:
+        if self.activation is not None:
+            disc_out = self.activation(disc_out)
+
+        if self.criterion == AdversarialCriterions.BCE.value:
+            target = self.real_label if target_is_real else self.fake_label
+            p = jnp.clip(disc_out, 1e-7, 1 - 1e-7)
+            return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+        if self.criterion == AdversarialCriterions.HINGE.value:
+            signed = disc_out if target_is_real else -disc_out
+            return -jnp.mean(jnp.minimum(signed - 1.0, 0.0))
+        # least squares
+        target = self.real_label if target_is_real else self.fake_label
+        return jnp.mean((disc_out - target) ** 2)
+
+    def __call__(self, input, target_is_real: bool, for_discriminator: bool):
+        """Compute the loss for one or several discriminator outputs.
+
+        Args:
+            input: raw discriminator prediction(s) — tensor or list of tensors.
+            target_is_real: label for the batch (forced True for generators).
+            for_discriminator: whether this loss optimises D (else G).
+        """
+        if not for_discriminator and not target_is_real:
+            target_is_real = True
+            warnings.warn(
+                "Variable target_is_real has been set to False, but for_discriminator is set "
+                "to False. To optimise a generator, target_is_real must be set to True."
+            )
+
+        if not isinstance(input, list):
+            input = [input]
+        losses = [self._single(jnp.asarray(d), target_is_real) for d in input]
+
+        if self.reduction == "mean":
+            return jnp.mean(jnp.stack(losses))
+        if self.reduction == "sum":
+            return jnp.sum(jnp.stack(losses))
+        return losses

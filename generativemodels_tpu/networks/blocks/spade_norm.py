@@ -23,6 +23,17 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
+def group_norm(x: jnp.ndarray, num_groups: int, eps: float = 1e-6) -> jnp.ndarray:
+    """Parameter-free group norm over (spatial, channel-group) of (B, *sp, C)."""
+    c = x.shape[-1]
+    g = num_groups
+    grouped = x.reshape(x.shape[:-1] + (g, c // g))
+    axes = tuple(range(1, grouped.ndim - 2)) + (grouped.ndim - 1,)
+    mean = jnp.mean(grouped, axis=axes, keepdims=True)
+    var = jnp.var(grouped, axis=axes, keepdims=True)
+    return ((grouped - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+
+
 def resize_nearest(x: jnp.ndarray, spatial_shape: tuple[int, ...]) -> jnp.ndarray:
     """Nearest-neighbour resize of (B, *spatial, C) to a new spatial shape."""
     out_shape = (x.shape[0],) + tuple(spatial_shape) + (x.shape[-1],)
@@ -45,12 +56,21 @@ class SPADE(nn.Module):
     kernel_size: int = 3
     spatial_dims: int = 2
     hidden_channels: int = 64
+    norm: str = "INSTANCE"
+    norm_params: dict | None = None
     norm_eps: float = 1e-5
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray) -> jnp.ndarray:
-        normalized = instance_norm(x, self.norm_eps)
+        kind = str(self.norm).upper()
+        if kind == "GROUP":
+            params = self.norm_params or {}
+            normalized = group_norm(x, params.get("num_groups", 32), self.norm_eps)
+        elif kind == "INSTANCE":
+            normalized = instance_norm(x, self.norm_eps)
+        else:
+            raise ValueError(f"Unsupported SPADE base norm: {self.norm}")
 
         segmap = resize_nearest(segmap, x.shape[1:-1])
         pad = self.kernel_size // 2

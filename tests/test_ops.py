@@ -72,3 +72,43 @@ class TestAttention:
         a = dot_product_attention(q, k, v, num_heads=2, use_flash=False, upcast=True)
         b = dot_product_attention(q, k, v, num_heads=2, use_flash=False, upcast=False)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+class TestFlashAttentionGradients:
+    def _qkv(self, b=1, sq=160, sk=160, c=32, seed=0):
+        rng = np.random.RandomState(seed)
+        return (
+            jnp.asarray(rng.standard_normal((b, sq, c)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((b, sk, c)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((b, sk, c)).astype(np.float32)),
+        )
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_einsum(self, causal):
+        q, k, v = self._qkv()
+
+        def loss_flash(q, k, v):
+            out = dot_product_attention(q, k, v, num_heads=2, causal=causal, use_flash=True)
+            return jnp.sum(out * jnp.cos(out))
+
+        def loss_einsum(q, k, v):
+            out = dot_product_attention(q, k, v, num_heads=2, causal=causal, use_flash=False)
+            return jnp.sum(out * jnp.cos(out))
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        ge = jax.grad(loss_einsum, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, ge):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+    def test_cross_attention_grads(self):
+        q, k, v = self._qkv(sq=140, sk=77)
+
+        def loss(use_flash):
+            def f(q, k, v):
+                out = dot_product_attention(q, k, v, num_heads=1, use_flash=use_flash)
+                return jnp.sum(out**2)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        gf, ge = loss(True), loss(False)
+        for a, b in zip(gf, ge):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
