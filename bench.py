@@ -1,0 +1,105 @@
+"""Headline benchmark: 2D DDPM training throughput at the MedNIST tutorial scale.
+
+Measures our jitted TPU train step (DiffusionModelUNet (128, 256, 256),
+attention at the two coarse levels, batch 128, 64x64, T=1000 — the exact
+config of reference tutorials/generative/2d_ddpm/2d_ddpm_tutorial.py:166-177)
+and compares against a measured PyTorch-CPU reference on this host (the
+reference publishes no throughput numbers; see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp
+import optax
+
+from generativemodels_tpu.networks.nets import DiffusionModelUNet
+from generativemodels_tpu.networks.schedulers import DDPMScheduler
+from generativemodels_tpu.parallel import init_train_state, make_diffusion_train_step
+
+BATCH = 128
+SIZE = 64
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+
+def measure_tpu_steps_per_sec(warmup: int = 3, steps: int = 20) -> float:
+    model = DiffusionModelUNet(
+        spatial_dims=2,
+        in_channels=1,
+        out_channels=1,
+        num_res_blocks=1,
+        num_channels=(128, 256, 256),
+        attention_levels=(False, True, True),
+        num_head_channels=256,
+    )
+    x = jnp.zeros((BATCH, 1, SIZE, SIZE))
+    # jit the init: eager init dispatches hundreds of individual ops, which
+    # is pathological through a remote-dispatch TPU tunnel
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, jnp.zeros((BATCH,), jnp.int32))
+    scheduler = DDPMScheduler(num_train_timesteps=1000)
+    tx = optax.adam(2.5e-5)
+    apply = lambda p, xx, tt: model.apply({"params": p}, xx, tt)
+    step = make_diffusion_train_step(apply, scheduler, tx)
+    state = init_train_state(variables["params"], tx)
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 1, SIZE, SIZE))
+    rng = jax.random.PRNGKey(2)
+    for _ in range(warmup):
+        rng, sub = jax.random.split(rng)
+        state, loss = step(state, images, sub)
+    loss.block_until_ready()
+
+    t0 = time.time()
+    for _ in range(steps):
+        rng, sub = jax.random.split(rng)
+        state, loss = step(state, images, sub)
+    loss.block_until_ready()
+    return steps / (time.time() - t0)
+
+
+def torch_cpu_baseline() -> float:
+    """Measured-once PyTorch-CPU steps/sec for the same config (cached)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_steps_per_sec"]
+    from benchmarks.torch_baseline import measure_torch_cpu_steps_per_sec
+
+    value = measure_torch_cpu_steps_per_sec(batch=BATCH, size=SIZE)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_steps_per_sec": value, "config": "2d_ddpm_mednist_b128_64px"}, f)
+    return value
+
+
+def main() -> None:
+    value = measure_tpu_steps_per_sec()
+    try:
+        baseline = torch_cpu_baseline()
+    except Exception:
+        baseline = None
+    result = {
+        "metric": "2d_ddpm_train_steps_per_sec",
+        "value": round(value, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+        "baseline": round(baseline, 4) if baseline else None,
+        "baseline_context": "pytorch-cpu same host, same tutorial config (no published reference numbers)",
+        "config": f"DiffusionModelUNet(128,256,256) b{BATCH} {SIZE}x{SIZE} T=1000",
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,10 @@
 from .adversarial_loss import AdversarialCriterions, PatchAdversarialLoss
+from .perceptual import PerceptualLoss
 from .spectral_loss import JukeboxLoss
 
-__all__ = ["AdversarialCriterions", "PatchAdversarialLoss", "JukeboxLoss"]
+__all__ = [
+    "AdversarialCriterions",
+    "PatchAdversarialLoss",
+    "PerceptualLoss",
+    "JukeboxLoss",
+]

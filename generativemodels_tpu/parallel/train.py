@@ -1,0 +1,96 @@
+"""Sharded diffusion training steps (the DDP-tutorial equivalent).
+
+Reference parity: tutorials/generative/distributed_training/
+ddpm_training_ddp.py:249-268 (per-rank forward + MSE-on-noise + implicit
+NCCL gradient all-reduce). Here the whole step is ONE jitted function with
+NamedSharding constraints; XLA emits the gradient reductions over the
+mesh's ICI links. Params are donated so optimizer updates reuse buffers.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from .mesh import batch_sharding, replicated, spatial_sharding
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_diffusion_train_step(
+    model_apply: Callable,
+    scheduler,
+    tx: optax.GradientTransformation,
+    mesh: Mesh | None = None,
+    num_train_timesteps: int | None = None,
+    prediction_target: str = "epsilon",
+    spatial_shard_axis: int | None = None,
+    donate: bool = True,
+):
+    """Build a jitted (optionally mesh-sharded) DDPM training step.
+
+    Args:
+        model_apply: `(params, x, timesteps) -> prediction`.
+        scheduler: Scheduler providing add_noise / get_velocity.
+        tx: optax optimizer.
+        mesh: if given, constrain batch over the "data" axis (and one
+            spatial axis over "space" when `spatial_shard_axis` is set).
+        num_train_timesteps: timestep draw range (default scheduler's).
+        prediction_target: "epsilon" | "v_prediction" | "sample".
+        spatial_shard_axis: index of the spatial axis to shard (e.g. 2).
+
+    Returns:
+        `step(state, images, rng) -> (state, loss)`.
+    """
+    T = num_train_timesteps or scheduler.num_train_timesteps
+
+    def loss_fn(params, images, noise, timesteps):
+        noisy = scheduler.add_noise(images, noise, timesteps)
+        pred = model_apply(params, noisy, timesteps)
+        if prediction_target == "epsilon":
+            target = noise
+        elif prediction_target == "v_prediction":
+            target = scheduler.get_velocity(images, noise, timesteps)
+        else:
+            target = images
+        return jnp.mean((pred - target) ** 2)
+
+    def step(state: TrainState, images, rng):
+        if mesh is not None:
+            if spatial_shard_axis is not None:
+                sharding = spatial_sharding(
+                    mesh, images.ndim, spatial_axis_index=spatial_shard_axis
+                )
+            else:
+                sharding = batch_sharding(mesh, images.ndim)
+            images = jax.lax.with_sharding_constraint(images, sharding)
+
+        k_noise, k_t = jax.random.split(rng)
+        noise = jax.random.normal(k_noise, images.shape, dtype=images.dtype)
+        timesteps = jax.random.randint(k_t, (images.shape[0],), 0, T)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, images, noise, timesteps)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    if mesh is not None:
+        rep = replicated(mesh)
+        state_sharding = TrainState(params=rep, opt_state=rep, step=rep)
+        return jax.jit(
+            step,
+            donate_argnums=(0,) if donate else (),
+            out_shardings=(state_sharding, rep),
+        )
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))

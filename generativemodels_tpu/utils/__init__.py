@@ -20,3 +20,7 @@ __all__ = [
     "unsqueeze_right",
     "Ordering",
 ]
+from .checkpoint import CheckpointManager
+from .profiling import StepTimer, annotate, trace
+
+__all__ += ["CheckpointManager", "StepTimer", "annotate", "trace"]

@@ -1,0 +1,71 @@
+"""Perceptual loss tests (random-init backbones; structure + contract).
+
+The reference downloads pretrained weights (skipped on failure,
+tests/utils.py:137-161); this environment has no egress so backbones run
+with random init — the loss contract (zero at identity, positive
+otherwise, 2.5D slicing) is what is verified.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from generativemodels_tpu.losses.perceptual import PerceptualLoss
+
+
+class TestPerceptualLoss2D:
+    @pytest.mark.parametrize("net", ["alex", "squeeze"])
+    def test_identity_zero(self, net):
+        loss_fn = PerceptualLoss(spatial_dims=2, network_type=net)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 64, 64))
+        assert float(loss_fn(x, x)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_different_positive(self):
+        loss_fn = PerceptualLoss(spatial_dims=2, network_type="alex")
+        a = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 64, 64))
+        b = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 64, 64))
+        assert float(loss_fn(a, b)) > 0
+
+    def test_resnet50_backend(self):
+        loss_fn = PerceptualLoss(spatial_dims=2, network_type="resnet50")
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 1, 64, 64))
+        assert float(loss_fn(x, x)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_radimagenet_backend(self):
+        loss_fn = PerceptualLoss(spatial_dims=2, network_type="radimagenet_resnet50")
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 1, 64, 64))
+        assert float(loss_fn(x, x)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_shape_mismatch(self):
+        loss_fn = PerceptualLoss(spatial_dims=2, network_type="alex")
+        with pytest.raises(ValueError):
+            loss_fn(jnp.zeros((1, 1, 64, 64)), jnp.zeros((1, 1, 32, 32)))
+
+
+class TestPerceptualLoss3D:
+    def test_fake_3d(self):
+        loss_fn = PerceptualLoss(
+            spatial_dims=3, network_type="alex", is_fake_3d=True, fake_3d_ratio=0.5
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 32, 32, 32))
+        assert float(loss_fn(x, x, key=jax.random.PRNGKey(1))) == pytest.approx(0.0, abs=1e-6)
+        y = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, 32, 32, 32))
+        assert float(loss_fn(x, y, key=jax.random.PRNGKey(1))) > 0
+
+    def test_medicalnet(self):
+        loss_fn = PerceptualLoss(
+            spatial_dims=3, network_type="medicalnet_resnet10_23datasets", is_fake_3d=False
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 1, 32, 32, 32))
+        assert float(loss_fn(x, x)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_medicalnet_rejects_fake3d(self):
+        with pytest.raises(ValueError):
+            PerceptualLoss(
+                spatial_dims=3, network_type="medicalnet_resnet10_23datasets", is_fake_3d=True
+            )
+
+    def test_invalid_spatial_dims(self):
+        with pytest.raises(NotImplementedError):
+            PerceptualLoss(spatial_dims=1)
