@@ -80,8 +80,15 @@ class VQVAETransformerInferer:
         top_k: int | None = None,
         verbose: bool = False,
         key: jax.Array | None = None,
+        use_cache: bool | None = None,
     ) -> jnp.ndarray:
-        """Autoregressive sampling, then decode the token grid to an image."""
+        """Autoregressive sampling, then decode the token grid to an image.
+
+        When the full sequence fits `max_seq_len`, a KV-cache decode path
+        (O(S) per token instead of the reference's O(S^2) full re-forward,
+        SURVEY.md §3.5) is used; set `use_cache=False` to force the
+        windowed full-forward path.
+        """
         if key is None:
             key = jax.random.PRNGKey(0)
         seq_len = math.prod(latent_spatial_dim)
@@ -96,6 +103,21 @@ class VQVAETransformerInferer:
         buf = jax.lax.dynamic_update_slice_in_dim(
             buf, starting_tokens.astype(jnp.int32), 0, axis=1
         )
+
+        if use_cache is None:
+            use_cache = (
+                total_len <= max_seq_len
+                and bos_len == 1
+                and hasattr(transformer_model, "unbind")
+            )
+        if use_cache:
+            latent_seq = self._sample_tokens_cached(
+                buf, transformer_model, conditioning, temperature, top_k,
+                num_embeddings, seq_len, bos_len, key,
+            )
+            latent_seq = latent_seq[:, ordering.get_revert_sequence_ordering()]
+            latent = latent_seq.reshape((batch,) + tuple(latent_spatial_dim))
+            return vqvae_model.decode_samples(latent)
 
         def step(carry, i):
             buf, k = carry
@@ -131,6 +153,46 @@ class VQVAETransformerInferer:
         latent_seq = latent_seq[:, ordering.get_revert_sequence_ordering()]
         latent = latent_seq.reshape((batch,) + tuple(latent_spatial_dim))
         return vqvae_model.decode_samples(latent)
+
+    @staticmethod
+    def _sample_tokens_cached(
+        buf, transformer_model, conditioning, temperature, top_k,
+        num_embeddings, seq_len, bos_len, key,
+    ) -> jnp.ndarray:
+        """KV-cache token sampling: one single-token forward per step."""
+        module, variables = transformer_model.unbind()
+        params = variables["params"]
+        batch = buf.shape[0]
+        cache = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((batch, 1), jnp.int32),
+            context=conditioning, decode=True,
+        )["cache"]
+        # init ran one decode step to build the cache shapes; reset to empty
+        cache = jax.tree_util.tree_map(jnp.zeros_like, cache)
+
+        def step(carry, i):
+            buf, cache, k = carry
+            pos = bos_len + i
+            tok = jax.lax.dynamic_slice_in_dim(buf, pos - 1, 1, axis=1)
+            logits, mutated = module.apply(
+                {"params": params, "cache": cache}, tok, context=conditioning,
+                decode=True, mutable=["cache"],
+            )
+            cache = mutated["cache"]
+            logits = logits[:, 0, :] / temperature
+            if top_k is not None:
+                kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][:, -1:]
+                logits = jnp.where(logits < kth, -jnp.inf, logits)
+            logits = logits.at[:, num_embeddings].set(-jnp.inf)
+            k, sub = jax.random.split(k)
+            idx_next = jax.random.categorical(sub, logits, axis=-1)
+            buf = jax.lax.dynamic_update_index_in_dim(
+                buf, idx_next.astype(jnp.int32), pos, axis=1
+            )
+            return (buf, cache, k), None
+
+        (buf, _, _), _ = jax.lax.scan(step, (buf, cache, key), jnp.arange(seq_len))
+        return buf[:, bos_len:]
 
     def get_likelihood(
         self,

@@ -7,6 +7,7 @@ cross-attention where k/v come from a context sequence).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops import dot_product_attention
@@ -38,6 +39,7 @@ class SABlock(nn.Module):
         x: jnp.ndarray,
         context: jnp.ndarray | None = None,
         deterministic: bool = True,
+        decode: bool = False,
     ) -> jnp.ndarray:
         dense = lambda name: nn.Dense(
             self.hidden_size, use_bias=self.qkv_bias, dtype=self.dtype, name=name
@@ -47,14 +49,43 @@ class SABlock(nn.Module):
         k = dense("to_k")(kv)
         v = dense("to_v")(kv)
 
-        y = dot_product_attention(
-            q,
-            k,
-            v,
-            self.num_heads,
-            causal=self.causal,
-            use_flash=self.use_flash_attention,
-        )
+        if decode:
+            # KV-cache single-token decoding: x is (B, 1, C). The cache is a
+            # flax 'cache' collection updated in place each step — the
+            # reference re-runs the full window per token (SURVEY.md §3.5);
+            # this is the O(S) fast path.
+            if self.sequence_length is None:
+                raise ValueError("sequence_length is required for decode mode")
+            b = x.shape[0]
+            cached_k = self.variable(
+                "cache", "cached_key",
+                lambda: jnp.zeros((b, self.sequence_length, self.hidden_size), k.dtype),
+            )
+            cached_v = self.variable(
+                "cache", "cached_value",
+                lambda: jnp.zeros((b, self.sequence_length, self.hidden_size), v.dtype),
+            )
+            cache_index = self.variable(
+                "cache", "cache_index", lambda: jnp.asarray(0, jnp.int32)
+            )
+            idx = cache_index.value
+            cached_k.value = jax.lax.dynamic_update_slice(cached_k.value, k, (0, idx, 0))
+            cached_v.value = jax.lax.dynamic_update_slice(cached_v.value, v, (0, idx, 0))
+            cache_index.value = idx + 1
+            key_mask = (jnp.arange(self.sequence_length) <= idx)[None, None, :]
+            y = dot_product_attention(
+                q, cached_k.value, cached_v.value, self.num_heads,
+                mask=key_mask, use_flash=False,
+            )
+        else:
+            y = dot_product_attention(
+                q,
+                k,
+                v,
+                self.num_heads,
+                causal=self.causal,
+                use_flash=self.use_flash_attention,
+            )
         y = nn.Dense(self.hidden_size, dtype=self.dtype, name="out_proj")(y)
         return nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
 
@@ -82,6 +113,7 @@ class TransformerBlock(nn.Module):
         x: jnp.ndarray,
         context: jnp.ndarray | None = None,
         deterministic: bool = True,
+        decode: bool = False,
     ) -> jnp.ndarray:
         from .mlp import MLPBlock
 
@@ -95,7 +127,8 @@ class TransformerBlock(nn.Module):
             use_flash_attention=self.use_flash_attention,
             dtype=self.dtype,
             name="attn",
-        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), deterministic=deterministic)
+        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), deterministic=deterministic,
+          decode=decode)
         if self.with_cross_attention:
             x = x + SABlock(
                 hidden_size=self.hidden_size,

@@ -33,10 +33,19 @@ class DecoderOnlyTransformer(nn.Module):
         x: jnp.ndarray,
         context: jnp.ndarray | None = None,
         deterministic: bool = True,
+        decode: bool = False,
     ) -> jnp.ndarray:
         seq_len = x.shape[1]
         tok_emb = nn.Embed(self.num_tokens, self.attn_layers_dim, name="token_embeddings")(x)
-        pos = jnp.arange(seq_len)[None, :]
+        if decode:
+            # KV-cache decoding: x is (B, 1); position = decode step counter
+            pos_index = self.variable(
+                "cache", "pos_index", lambda: jnp.asarray(0, jnp.int32)
+            )
+            pos = pos_index.value[None, None]
+            pos_index.value = pos_index.value + 1
+        else:
+            pos = jnp.arange(seq_len)[None, :]
         pos_emb = nn.Embed(
             self.max_seq_len, self.attn_layers_dim, name="position_embeddings"
         )(pos)
@@ -58,6 +67,6 @@ class DecoderOnlyTransformer(nn.Module):
                 use_flash_attention=self.use_flash_attention,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(h, context=context, deterministic=deterministic)
+            )(h, context=context, deterministic=deterministic, decode=decode)
 
         return nn.Dense(self.num_tokens, name="to_logits")(h.astype(jnp.float32))

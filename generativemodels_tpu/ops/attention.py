@@ -34,6 +34,7 @@ def dot_product_attention(
     causal: bool = False,
     upcast: bool = False,
     use_flash: bool | None = None,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Multi-head attention over packed (B, S, H*D) tensors.
 
@@ -45,6 +46,8 @@ def dot_product_attention(
         upcast: force fp32 scores (reference `upcast_attention` flag).
         use_flash: True forces the Pallas kernel, False forces einsum,
             None auto-selects (TPU and long sequences).
+        mask: optional boolean key mask, broadcastable to (B, Sq, Sk)
+            (True = attend). Forces the einsum path (KV-cache decoding).
 
     Returns:
         (B, Sq, inner_dim) in q.dtype.
@@ -55,6 +58,8 @@ def dot_product_attention(
     if scale is None:
         scale = 1.0 / (head_dim**0.5)
 
+    if mask is not None:
+        use_flash = False
     if use_flash is None:
         use_flash = _on_tpu() and sq >= _FLASH_MIN_SEQ and head_dim <= 256
 
@@ -79,8 +84,14 @@ def dot_product_attention(
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
     if causal:
-        mask = jnp.tril(jnp.ones((sq, sk), dtype=bool))
-        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+        causal_mask = jnp.tril(jnp.ones((sq, sk), dtype=bool))
+        scores = jnp.where(causal_mask, scores, jnp.finfo(scores.dtype).min)
+    if mask is not None:
+        scores = jnp.where(
+            jnp.broadcast_to(mask, (b, sq, sk))[:, None, :, :],
+            scores,
+            jnp.finfo(scores.dtype).min,
+        )
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh.astype(dtype))
     return out.reshape(b, sq, inner)

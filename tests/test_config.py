@@ -1,0 +1,78 @@
+"""Config parser + preset tests (bundle-semantics parity)."""
+import pytest
+
+from generativemodels_tpu.config import ConfigParser, load_preset
+from generativemodels_tpu.inferers import DiffusionInferer, LatentDiffusionInferer
+from generativemodels_tpu.networks.nets import AutoencoderKL, DiffusionModelUNet
+from generativemodels_tpu.networks.schedulers import DDIMScheduler, DDPMScheduler
+
+
+class TestConfigParser:
+    def test_target_instantiation(self):
+        parser = ConfigParser({
+            "sched": {
+                "_target_": "generativemodels_tpu.networks.schedulers.DDPMScheduler",
+                "num_train_timesteps": 50,
+            }
+        })
+        sched = parser.resolve("sched")
+        assert isinstance(sched, DDPMScheduler)
+        assert sched.num_train_timesteps == 50
+
+    def test_references_and_expressions(self):
+        parser = ConfigParser({
+            "T": 100,
+            "sched": {
+                "_target_": "generativemodels_tpu.networks.schedulers.DDPMScheduler",
+                "num_train_timesteps": "@T",
+            },
+            "half": "$@T // 2",
+            "inferer": {
+                "_target_": "generativemodels_tpu.inferers.DiffusionInferer",
+                "scheduler": "@sched",
+            },
+        })
+        assert parser.resolve("half") == 50
+        inferer = parser.resolve("inferer")
+        assert isinstance(inferer, DiffusionInferer)
+        # references resolve to the same cached object
+        assert inferer.scheduler is parser.resolve("sched")
+
+    def test_nested_ids(self):
+        parser = ConfigParser({"a": {"b": {"c": 3}}})
+        assert parser.resolve("a::b::c") == 3
+        assert parser.resolve("a#b#c") == 3
+
+    def test_disabled(self):
+        parser = ConfigParser({
+            "x": {"_target_": "generativemodels_tpu.networks.schedulers.DDPMScheduler",
+                  "_disabled_": True}
+        })
+        assert parser.resolve("x") is None
+
+    def test_override_mixin(self):
+        parser = ConfigParser({"T": 10})
+        parser.update({"T": 20})
+        assert parser.resolve("T") == 20
+
+
+class TestPresets:
+    def test_mednist_ddpm(self):
+        parser = load_preset("mednist_ddpm")
+        net = parser.resolve("network")
+        assert isinstance(net, DiffusionModelUNet)
+        assert tuple(net.num_channels) == (128, 256, 256)
+        assert isinstance(parser.resolve("inferer"), DiffusionInferer)
+
+    def test_brain_3d_ldm(self):
+        parser = load_preset("brain_3d_ldm")
+        aekl = parser.resolve("autoencoder")
+        assert isinstance(aekl, AutoencoderKL)
+        net = parser.resolve("network")
+        assert net.in_channels == 7  # $-expression: latent + 4
+        assert isinstance(parser.resolve("scheduler"), DDIMScheduler)
+        assert isinstance(parser.resolve("inferer"), LatentDiffusionInferer)
+
+    def test_unknown_preset(self):
+        with pytest.raises(FileNotFoundError):
+            load_preset("bogus")

@@ -308,3 +308,40 @@ class TestVQVAETransformerInferer:
             inputs, vq, tr, ordering, resample_latent_likelihoods=True
         )
         assert ll.shape == (2, 1, 16, 16)
+
+
+class TestKVCacheSampling:
+    def test_cached_matches_windowed_greedy(self, ):
+        """KV-cache decoding must produce the same tokens as the full
+        re-forward path (greedy top-1 to avoid sampling tie noise)."""
+        vqvae = VQVAE(
+            spatial_dims=2, in_channels=1, out_channels=1, num_channels=(4, 4),
+            num_res_layers=1, num_res_channels=(4, 4),
+            downsample_parameters=((2, 4, 1, 1), (2, 4, 1, 1)),
+            upsample_parameters=((2, 4, 1, 1, 0), (2, 4, 1, 1, 0)),
+            num_embeddings=8, embedding_dim=4,
+        )
+        x = jnp.zeros((1, 1, 16, 16))
+        vq_vars = vqvae.init(jax.random.PRNGKey(0), x)
+        vq = vqvae.bind(vq_vars)
+        transformer = DecoderOnlyTransformer(
+            num_tokens=9, max_seq_len=32, attn_layers_dim=8, attn_layers_depth=2,
+            attn_layers_heads=2,
+        )
+        t_vars = transformer.init(jax.random.PRNGKey(1), jnp.zeros((1, 17), jnp.int32))
+        tr = transformer.bind(t_vars)
+        ordering = Ordering("raster_scan", 2, (1, 4, 4))
+        inferer = VQVAETransformerInferer()
+        starting = jnp.full((1, 1), 8)
+
+        img_cached = inferer.sample(
+            (4, 4), starting, vq, tr, ordering, top_k=1, key=jax.random.PRNGKey(3),
+            use_cache=True,
+        )
+        img_windowed = inferer.sample(
+            (4, 4), starting, vq, tr, ordering, top_k=1, key=jax.random.PRNGKey(3),
+            use_cache=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(img_cached), np.asarray(img_windowed), rtol=1e-5, atol=1e-6
+        )
