@@ -1,4 +1,16 @@
+from .anomaly import anomaly_map, ddim_decode, ddim_encode
 from .guidance import drop_condition, sample_with_guidance
 from .inpaint import inpaint
+from .super_resolution import compute_scale_factor, prepare_sr_batch, sample_super_resolution
 
-__all__ = ["drop_condition", "sample_with_guidance", "inpaint"]
+__all__ = [
+    "anomaly_map",
+    "ddim_decode",
+    "ddim_encode",
+    "drop_condition",
+    "sample_with_guidance",
+    "inpaint",
+    "compute_scale_factor",
+    "prepare_sr_batch",
+    "sample_super_resolution",
+]

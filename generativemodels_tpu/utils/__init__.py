@@ -24,3 +24,6 @@ from .checkpoint import CheckpointManager
 from .profiling import StepTimer, annotate, trace
 
 __all__ += ["CheckpointManager", "StepTimer", "annotate", "trace"]
+from .guards import GuardState, guard_nans, init_guard
+
+__all__ += ["GuardState", "guard_nans", "init_guard"]

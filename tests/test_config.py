@@ -76,3 +76,9 @@ class TestPresets:
     def test_unknown_preset(self):
         with pytest.raises(FileNotFoundError):
             load_preset("bogus")
+
+    def test_cxr_ldm(self):
+        parser = load_preset("cxr_ldm")
+        net = parser.resolve("network")
+        assert net.cross_attention_dim == 1024
+        assert isinstance(parser.resolve("inferer"), LatentDiffusionInferer)
