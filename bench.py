@@ -35,6 +35,8 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench
 
 
 def measure_tpu_steps_per_sec(warmup: int = 3, steps: int = 20) -> float:
+    # bf16 compute dtype: the reference tutorial trains under AMP autocast
+    # (2d_ddpm_tutorial.py), so mixed precision is the parity configuration
     model = DiffusionModelUNet(
         spatial_dims=2,
         in_channels=1,
@@ -43,6 +45,7 @@ def measure_tpu_steps_per_sec(warmup: int = 3, steps: int = 20) -> float:
         num_channels=(128, 256, 256),
         attention_levels=(False, True, True),
         num_head_channels=256,
+        dtype=jnp.bfloat16,
     )
     x = jnp.zeros((BATCH, 1, SIZE, SIZE))
     # jit the init: eager init dispatches hundreds of individual ops, which
@@ -95,7 +98,7 @@ def main() -> None:
         "vs_baseline": round(value / baseline, 2) if baseline else None,
         "baseline": round(baseline, 4) if baseline else None,
         "baseline_context": "pytorch-cpu same host, same tutorial config (no published reference numbers)",
-        "config": f"DiffusionModelUNet(128,256,256) b{BATCH} {SIZE}x{SIZE} T=1000",
+        "config": f"DiffusionModelUNet(128,256,256) bf16 b{BATCH} {SIZE}x{SIZE} T=1000",
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -1,9 +1,13 @@
+from .diffusion_autoencoder import SemanticEncoder, diffusion_autoencoder_loss, reconstruct
 from .anomaly import anomaly_map, ddim_decode, ddim_encode
 from .guidance import drop_condition, sample_with_guidance
 from .inpaint import inpaint
 from .super_resolution import compute_scale_factor, prepare_sr_batch, sample_super_resolution
 
 __all__ = [
+    "SemanticEncoder",
+    "diffusion_autoencoder_loss",
+    "reconstruct",
     "anomaly_map",
     "ddim_decode",
     "ddim_encode",

@@ -27,3 +27,6 @@ __all__ += ["CheckpointManager", "StepTimer", "annotate", "trace"]
 from .guards import GuardState, guard_nans, init_guard
 
 __all__ += ["GuardState", "guard_nans", "init_guard"]
+from .logging import MetricsLogger
+
+__all__ += ["MetricsLogger"]

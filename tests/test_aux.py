@@ -212,3 +212,47 @@ class TestJitCheckpointRoundtrip:
             mgr.close()
         after = fn(restored, x, jnp.array([5]))
         np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+
+
+class TestDiffusionAutoencoder:
+    def test_loss_and_reconstruct(self):
+        from generativemodels_tpu.recipes import (
+            SemanticEncoder, diffusion_autoencoder_loss, reconstruct,
+        )
+
+        unet = DiffusionModelUNet(
+            spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, True), norm_num_groups=8,
+            num_head_channels=8, with_conditioning=True, cross_attention_dim=16,
+        )
+        enc = SemanticEncoder(emb_dim=16, widths=(8, 8))
+        images = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 16, 16))
+        u_vars = unet.init(jax.random.PRNGKey(1), jnp.zeros((2, 1, 16, 16)),
+                           jnp.array([0, 0]), context=jnp.zeros((2, 1, 16)))
+        e_vars = enc.init(jax.random.PRNGKey(2), images)
+        unet_fn = lambda x, t, ctx: unet.apply(u_vars, x, t, context=ctx)
+        enc_fn = lambda x: enc.apply(e_vars, x)
+
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        loss = diffusion_autoencoder_loss(unet_fn, enc_fn, scheduler, images,
+                                          jax.random.PRNGKey(3), 10)
+        assert bool(jnp.isfinite(loss))
+
+        recon = reconstruct(unet_fn, enc_fn, scheduler, images, key=jax.random.PRNGKey(4))
+        assert recon.shape == images.shape
+
+
+class TestMetricsLogger:
+    def test_jsonl_written(self):
+        import json as json_mod
+        import tempfile
+
+        from generativemodels_tpu.utils import MetricsLogger
+
+        with tempfile.TemporaryDirectory() as d:
+            logger = MetricsLogger(d, use_tensorboard=False)
+            logger.log(1, {"loss": jnp.asarray(0.5), "note": "x"})
+            logger.log(2, {"loss": 0.25})
+            logger.close()
+            lines = [json_mod.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
+        assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
