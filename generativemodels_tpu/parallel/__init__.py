@@ -6,7 +6,7 @@ from .mesh import (
     shard_params,
     spatial_sharding,
 )
-from .train import TrainState, init_train_state, make_diffusion_train_step
+from .train import TrainState, init_train_state, make_diffusion_train_step, make_multi_step_train
 
 __all__ = [
     "batch_sharding",
@@ -18,4 +18,5 @@ __all__ = [
     "TrainState",
     "init_train_state",
     "make_diffusion_train_step",
+    "make_multi_step_train",
 ]

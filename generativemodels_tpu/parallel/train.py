@@ -92,5 +92,54 @@ def make_diffusion_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_step_train(
+    model_apply: Callable,
+    scheduler,
+    tx: optax.GradientTransformation,
+    steps_per_call: int,
+    num_train_timesteps: int | None = None,
+    prediction_target: str = "epsilon",
+    donate: bool = True,
+):
+    """Build a jitted function running `steps_per_call` train steps per dispatch.
+
+    The inner loop is a `lax.scan` over a stacked batch
+    (steps_per_call, B, C, *spatial) — one host->device dispatch executes K
+    optimizer updates, amortising launch latency (a large win through
+    remote-dispatch links and for keeping the input pipeline ahead of the
+    chip). Returns `fn(state, stacked_images, rng) -> (state, losses[K])`.
+    """
+    T = num_train_timesteps or scheduler.num_train_timesteps
+
+    def one_step(state: TrainState, inputs):
+        images, rng = inputs
+        k_noise, k_t = jax.random.split(rng)
+        noise = jax.random.normal(k_noise, images.shape, dtype=images.dtype)
+        timesteps = jax.random.randint(k_t, (images.shape[0],), 0, T)
+
+        def loss_fn(params):
+            noisy = scheduler.add_noise(images, noise, timesteps)
+            pred = model_apply(params, noisy, timesteps)
+            if prediction_target == "epsilon":
+                target = noise
+            elif prediction_target == "v_prediction":
+                target = scheduler.get_velocity(images, noise, timesteps)
+            else:
+                target = images
+            return jnp.mean((pred - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def multi(state: TrainState, stacked_images, rng):
+        rngs = jax.random.split(rng, steps_per_call)
+        state, losses = jax.lax.scan(one_step, state, (stacked_images, rngs))
+        return state, losses
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
 def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))

@@ -127,7 +127,7 @@ class TestCodebookSync:
             mesh=mesh,
             in_specs=(P(), P("data")),
             out_specs=P(),
-            check_rep=False,
+            
         )
         with mesh:
             sync_mut = sharded(variables, x)
@@ -137,3 +137,32 @@ class TestCodebookSync:
             np.asarray(sync_mut["codebook"]["embedding"]),
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestMultiStepTrain:
+    def test_matches_sequential_single_steps(self):
+        from generativemodels_tpu.parallel import make_multi_step_train
+
+        params, apply = _tiny_unet()
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        tx = optax.adam(1e-3)
+
+        K = 3
+        stacked = jax.random.uniform(jax.random.PRNGKey(1), (K, 4, 1, 16, 16))
+        rng = jax.random.PRNGKey(2)
+
+        multi = make_multi_step_train(apply, scheduler, tx, steps_per_call=K, donate=False)
+        m_state = init_train_state(params, tx)
+        m_state, losses = multi(m_state, stacked, rng)
+        assert losses.shape == (K,)
+
+        # reference: run the same K updates one by one with the same rngs
+        single = make_diffusion_train_step(apply, scheduler, tx, donate=False)
+        s_state = init_train_state(params, tx)
+        for i, sub in enumerate(jax.random.split(rng, K)):
+            s_state, loss = single(s_state, stacked[i], sub)
+            np.testing.assert_allclose(float(losses[i]), float(loss), rtol=1e-5)
+
+        a = jax.tree_util.tree_leaves(m_state.params)[0]
+        b = jax.tree_util.tree_leaves(s_state.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
