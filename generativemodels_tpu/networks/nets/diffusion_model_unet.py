@@ -526,6 +526,7 @@ class DiffusionModelUNet(nn.Module):
     upcast_attention: bool = False
     use_flash_attention: bool | None = None
     dropout_cattn: float = 0.0
+    use_checkpointing: bool = False
     dtype: jnp.dtype | None = None
 
     def _config(self):
@@ -589,6 +590,12 @@ class DiffusionModelUNet(nn.Module):
             name="conv_in",
         )(h)
 
+        # rematerialise block activations when training 3D volumes
+        # (reference use_checkpointing, autoencoderkl.py:726-727)
+        down_cls = nn.remat(DownBlock, static_argnums=(3,)) if self.use_checkpointing else DownBlock
+        mid_cls = nn.remat(MidBlock, static_argnums=(3,)) if self.use_checkpointing else MidBlock
+        up_cls = nn.remat(UpBlock, static_argnums=(4,)) if self.use_checkpointing else UpBlock
+
         # 4. down path
         down_block_res_samples = [h]
         output_channel = num_channels[0]
@@ -596,7 +603,7 @@ class DiffusionModelUNet(nn.Module):
             input_channel = output_channel
             output_channel = num_channels[i]
             is_final_block = i == len(num_channels) - 1
-            h, res_samples = DownBlock(
+            h, res_samples = down_cls(
                 spatial_dims=self.spatial_dims,
                 in_channels=input_channel,
                 out_channels=output_channel,
@@ -627,7 +634,7 @@ class DiffusionModelUNet(nn.Module):
             ]
 
         # 5. mid
-        h = MidBlock(
+        h = mid_cls(
             spatial_dims=self.spatial_dims,
             in_channels=num_channels[-1],
             temb_channels=time_embed_dim,
@@ -663,7 +670,7 @@ class DiffusionModelUNet(nn.Module):
             res_samples = down_block_res_samples[-n_res:]
             down_block_res_samples = down_block_res_samples[:-n_res]
 
-            h = UpBlock(
+            h = up_cls(
                 spatial_dims=self.spatial_dims,
                 in_channels=input_channel,
                 prev_output_channel=prev_output_channel,

@@ -30,3 +30,6 @@ __all__ += ["GuardState", "guard_nans", "init_guard"]
 from .logging import MetricsLogger
 
 __all__ += ["MetricsLogger"]
+from .export import export_fn, load_exported, load_fn, save_exported
+
+__all__ += ["export_fn", "load_exported", "load_fn", "save_exported"]

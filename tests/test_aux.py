@@ -256,3 +256,27 @@ class TestMetricsLogger:
             logger.close()
             lines = [json_mod.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
         assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
+
+
+class TestExport:
+    def test_export_reload_roundtrip(self):
+        import tempfile
+
+        from generativemodels_tpu.utils import load_exported, save_exported
+
+        model = DiffusionModelUNet(
+            spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, False), norm_num_groups=8,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16, 16))
+        t = jnp.array([3])
+        variables = model.init(jax.random.PRNGKey(1), x, t)
+        fn = lambda x, t: model.apply(variables, x, t)
+        expected = fn(x, t)
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "sampler.bin")
+            save_exported(path, fn, x, t)
+            served = load_exported(path)
+            out = served(x, t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-6)

@@ -92,3 +92,51 @@ class TestOrdering:
             Ordering("raster_scan", 2, (1, 2, 3), transformation_order=("transpose", "transpose"))
         with pytest.raises(ValueError):
             Ordering("raster_scan", 2, (1, 2, 3), transformation_order=("bogus",))
+
+
+class TestOrderingGoldenParity:
+    """Golden parity against the reference Ordering implementation."""
+
+    @staticmethod
+    def _ref_ordering(**kwargs):
+        import pytest
+
+        from .ref_loader import _install_monai_stub, REFERENCE_PATH
+        import sys
+
+        _install_monai_stub()
+        if REFERENCE_PATH not in sys.path:
+            sys.path.insert(0, REFERENCE_PATH)
+        try:
+            from generative.utils.ordering import Ordering as RefOrdering
+        except Exception:
+            pytest.skip("reference not importable")
+        return RefOrdering(**kwargs)
+
+    @pytest.mark.parametrize("ordering_type", ["raster_scan", "s_curve"])
+    @pytest.mark.parametrize("dims", [(1, 4, 5), (1, 3, 4, 5)])
+    def test_matches_reference(self, ordering_type, dims):
+        spatial_dims = len(dims) - 1
+        ref = self._ref_ordering(
+            ordering_type=ordering_type, spatial_dims=spatial_dims, dimensions=dims
+        )
+        ours = Ordering(ordering_type, spatial_dims, dims)
+        np.testing.assert_array_equal(
+            ours.get_sequence_ordering(), ref.get_sequence_ordering()
+        )
+        np.testing.assert_array_equal(
+            ours.get_revert_sequence_ordering(), ref.get_revert_sequence_ordering()
+        )
+
+    def test_transforms_match_reference(self):
+        kwargs = dict(
+            ordering_type="s_curve", spatial_dims=2, dimensions=(1, 4, 6),
+            reflected_spatial_dims=(True, False),
+            transpositions_axes=((1, 0),),
+            rot90_axes=((0, 1),),
+        )
+        ref = self._ref_ordering(**kwargs)
+        ours = Ordering(**kwargs)
+        np.testing.assert_array_equal(
+            ours.get_sequence_ordering(), ref.get_sequence_ordering()
+        )
