@@ -623,7 +623,7 @@ class DiffusionModelUNet(nn.Module):
                 dropout_cattn=self.dropout_cattn,
                 dtype=self.dtype,
                 name=f"down_{i}",
-            )(h, emb, context=context, deterministic=deterministic)
+            )(h, emb, context, deterministic)
             down_block_res_samples.extend(res_samples)
 
         # ControlNet residual injection (channels-first residuals at the API)
@@ -649,7 +649,7 @@ class DiffusionModelUNet(nn.Module):
             dropout_cattn=self.dropout_cattn,
             dtype=self.dtype,
             name="middle_block",
-        )(h, emb, context=context, deterministic=deterministic)
+        )(h, emb, context, deterministic)
 
         if mid_block_additional_residual is not None:
             h = h + jnp.transpose(mid_block_additional_residual, perm).astype(h.dtype)
@@ -691,7 +691,7 @@ class DiffusionModelUNet(nn.Module):
                 dropout_cattn=self.dropout_cattn,
                 dtype=self.dtype,
                 name=f"up_{i}",
-            )(h, res_samples, emb, context=context, deterministic=deterministic)
+            )(h, res_samples, emb, context, deterministic)
 
         # 7. output head (zero-init conv)
         h = nn.GroupNorm(

@@ -173,3 +173,57 @@ class TestDiffusionModelEncoder:
         x = jnp.zeros((2, 1, 16, 16))
         out = _init_and_apply(model, x, jnp.array([0, 1]))
         assert out.shape == (2, 2)
+
+
+class TestLearnedVarianceOutput:
+    def test_channel_doubled_output_with_ddpm_step(self):
+        """Learned-range variance: UNet predicts 2C channels; the scheduler
+        splits them (reference ddpm.py:207-210)."""
+        from generativemodels_tpu.networks.schedulers import DDPMScheduler
+
+        model = DiffusionModelUNet(
+            spatial_dims=2, in_channels=1, out_channels=2, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, False), norm_num_groups=8,
+        )
+        x = jnp.zeros((1, 1, 16, 16))
+        variables = model.init(jax.random.PRNGKey(0), x, jnp.array([0]))
+        out = model.apply(variables, x, jnp.array([10]))
+        assert out.shape == (1, 2, 16, 16)
+        scheduler = DDPMScheduler(num_train_timesteps=100, variance_type="learned_range")
+        prev, x0 = scheduler.step(out, 10, x, key=jax.random.PRNGKey(1))
+        assert prev.shape == x.shape
+
+
+class TestResblockUpdown3D:
+    def test_3d_resblock_updown(self):
+        model = DiffusionModelUNet(
+            spatial_dims=3, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, False), norm_num_groups=8,
+            resblock_updown=True,
+        )
+        x = jnp.zeros((1, 1, 16, 16, 16))
+        variables = model.init(jax.random.PRNGKey(0), x, jnp.array([0]))
+        out = model.apply(variables, x, jnp.array([0]))
+        assert out.shape == (1, 1, 16, 16, 16)
+
+
+class TestCheckpointedUNet:
+    def test_remat_matches_no_remat(self):
+        kwargs = dict(
+            spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, False), norm_num_groups=8,
+        )
+        plain = DiffusionModelUNet(**kwargs)
+        remat = DiffusionModelUNet(use_checkpointing=True, **kwargs)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 1, 16, 16).astype(np.float32))
+        t = jnp.array([7])
+        variables = plain.init(jax.random.PRNGKey(0), x, t)
+        a = plain.apply(variables, x, t)
+        b = remat.apply(variables, x, t)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        # gradients must also agree
+        ga = jax.grad(lambda v: jnp.sum(plain.apply(v, x, t) ** 2))(variables)
+        gb = jax.grad(lambda v: jnp.sum(remat.apply(v, x, t) ** 2))(variables)
+        la = jax.tree_util.tree_leaves(ga)[0]
+        lb = jax.tree_util.tree_leaves(gb)[0]
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-6)

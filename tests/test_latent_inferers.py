@@ -345,3 +345,40 @@ class TestKVCacheSampling:
         np.testing.assert_allclose(
             np.asarray(img_cached), np.asarray(img_windowed), rtol=1e-5, atol=1e-6
         )
+
+
+class TestLatentDiffusion3D:
+    def test_3d_ldm_end_to_end(self):
+        """BASELINE config #4 shape path: 3D AEKL + latent DDIM, tiny scale."""
+        aekl = AutoencoderKL(
+            spatial_dims=3, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(4, 4), attention_levels=(False, False), latent_channels=3,
+            norm_num_groups=4, with_encoder_nonlocal_attn=False,
+            with_decoder_nonlocal_attn=False,
+        )
+        x = jnp.zeros((1, 1, 16, 16, 16))
+        a_vars = aekl.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, x
+        )
+        bound = aekl.bind(a_vars, rngs={"sampling": jax.random.PRNGKey(2)})
+
+        unet = DiffusionModelUNet(
+            spatial_dims=3, in_channels=3, out_channels=3, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, True), norm_num_groups=8,
+            num_head_channels=8,
+        )
+        z = jnp.zeros((1, 3, 8, 8, 8))
+        u_vars = unet.init(jax.random.PRNGKey(3), z, jnp.array([0]))
+        fn = lambda x, t, context=None, **kw: unet.apply(u_vars, x, t, context=context, **kw)
+
+        from generativemodels_tpu.networks.schedulers import DDIMScheduler
+        scheduler = DDIMScheduler(num_train_timesteps=10)
+        scheduler.set_timesteps(5)
+        inferer = LatentDiffusionInferer(scheduler, scale_factor=0.3)
+
+        pred = inferer(x, bound, fn, jnp.zeros_like(z), jnp.array([2]))
+        assert pred.shape == z.shape
+        img = inferer.sample(
+            jax.random.normal(jax.random.PRNGKey(4), z.shape), bound, fn,
+        )
+        assert img.shape == (1, 1, 16, 16, 16)
