@@ -557,7 +557,19 @@ class DiffusionModelUNet(nn.Module):
         down_block_additional_residuals: Sequence[jnp.ndarray] | None = None,
         mid_block_additional_residual: jnp.ndarray | None = None,
         deterministic: bool = True,
+        cached_down=None,
+        return_down: bool = False,
     ) -> jnp.ndarray:
+        """Forward pass; see class docstring.
+
+        `cached_down` / `return_down` implement encoder(down-path) feature
+        reuse across adjacent sampling timesteps ("Faster Diffusion" /
+        block caching, PAPERS.md): with `return_down=True` the call also
+        returns `(h_mid, down_block_res_samples)` (channels-last internals);
+        passing that tuple back as `cached_down` skips the down path —
+        an approximation, since the cached features embed the timestep
+        they were computed at.
+        """
         num_channels, attention_levels, head_channels, res_blocks = self._config()
         if context is not None and not self.with_conditioning:
             raise ValueError("model should have with_conditioning = True if context is provided")
@@ -596,35 +608,41 @@ class DiffusionModelUNet(nn.Module):
         mid_cls = nn.remat(MidBlock, static_argnums=(3,)) if self.use_checkpointing else MidBlock
         up_cls = nn.remat(UpBlock, static_argnums=(4,)) if self.use_checkpointing else UpBlock
 
-        # 4. down path
-        down_block_res_samples = [h]
-        output_channel = num_channels[0]
-        for i in range(len(num_channels)):
-            input_channel = output_channel
-            output_channel = num_channels[i]
-            is_final_block = i == len(num_channels) - 1
-            h, res_samples = down_cls(
-                spatial_dims=self.spatial_dims,
-                in_channels=input_channel,
-                out_channels=output_channel,
-                temb_channels=time_embed_dim,
-                num_res_blocks=res_blocks[i],
-                norm_num_groups=self.norm_num_groups,
-                norm_eps=self.norm_eps,
-                add_downsample=not is_final_block,
-                resblock_updown=self.resblock_updown,
-                with_attn=attention_levels[i] and not self.with_conditioning,
-                with_cross_attn=attention_levels[i] and self.with_conditioning,
-                num_head_channels=head_channels[i],
-                transformer_num_layers=self.transformer_num_layers,
-                cross_attention_dim=self.cross_attention_dim,
-                upcast_attention=self.upcast_attention,
-                use_flash_attention=self.use_flash_attention,
-                dropout_cattn=self.dropout_cattn,
-                dtype=self.dtype,
-                name=f"down_{i}",
-            )(h, emb, context, deterministic)
-            down_block_res_samples.extend(res_samples)
+        # 4. down path (skipped when cached features are supplied; module
+        # names are explicit, so parameter paths stay stable either way)
+        if cached_down is not None:
+            h, cached_res = cached_down
+            down_block_res_samples = list(cached_res)
+        else:
+            down_block_res_samples = [h]
+            output_channel = num_channels[0]
+            for i in range(len(num_channels)):
+                input_channel = output_channel
+                output_channel = num_channels[i]
+                is_final_block = i == len(num_channels) - 1
+                h, res_samples = down_cls(
+                    spatial_dims=self.spatial_dims,
+                    in_channels=input_channel,
+                    out_channels=output_channel,
+                    temb_channels=time_embed_dim,
+                    num_res_blocks=res_blocks[i],
+                    norm_num_groups=self.norm_num_groups,
+                    norm_eps=self.norm_eps,
+                    add_downsample=not is_final_block,
+                    resblock_updown=self.resblock_updown,
+                    with_attn=attention_levels[i] and not self.with_conditioning,
+                    with_cross_attn=attention_levels[i] and self.with_conditioning,
+                    num_head_channels=head_channels[i],
+                    transformer_num_layers=self.transformer_num_layers,
+                    cross_attention_dim=self.cross_attention_dim,
+                    upcast_attention=self.upcast_attention,
+                    use_flash_attention=self.use_flash_attention,
+                    dropout_cattn=self.dropout_cattn,
+                    dtype=self.dtype,
+                    name=f"down_{i}",
+                )(h, emb, context, deterministic)
+                down_block_res_samples.extend(res_samples)
+        down_cache = (h, tuple(down_block_res_samples))
 
         # ControlNet residual injection (channels-first residuals at the API)
         if down_block_additional_residuals is not None:
@@ -711,7 +729,10 @@ class DiffusionModelUNet(nn.Module):
 
         # back to public NC* layout, in float32
         inv_perm = (0, self.spatial_dims + 1) + tuple(range(1, self.spatial_dims + 1))
-        return jnp.transpose(h, inv_perm).astype(jnp.float32)
+        out = jnp.transpose(h, inv_perm).astype(jnp.float32)
+        if return_down:
+            return out, down_cache
+        return out
 
 
 class DiffusionModelEncoder(nn.Module):

@@ -1,5 +1,6 @@
 from .diffusion_autoencoder import SemanticEncoder, diffusion_autoencoder_loss, reconstruct
 from .anomaly import anomaly_map, ddim_decode, ddim_encode
+from .fast_sampling import sample_with_encoder_reuse
 from .guidance import drop_condition, sample_with_guidance
 from .inpaint import inpaint
 from .super_resolution import compute_scale_factor, prepare_sr_batch, sample_super_resolution
@@ -11,6 +12,7 @@ __all__ = [
     "anomaly_map",
     "ddim_decode",
     "ddim_encode",
+    "sample_with_encoder_reuse",
     "drop_condition",
     "sample_with_guidance",
     "inpaint",
