@@ -1,5 +1,6 @@
 from .diffusion_autoencoder import SemanticEncoder, diffusion_autoencoder_loss, reconstruct
 from .anomaly import anomaly_map, ddim_decode, ddim_encode
+from .classifier_guidance import classifier_grad, sample_with_classifier_guidance
 from .fast_sampling import sample_with_encoder_reuse
 from .guidance import drop_condition, sample_with_guidance
 from .inpaint import inpaint
@@ -12,6 +13,8 @@ __all__ = [
     "anomaly_map",
     "ddim_decode",
     "ddim_encode",
+    "classifier_grad",
+    "sample_with_classifier_guidance",
     "sample_with_encoder_reuse",
     "drop_condition",
     "sample_with_guidance",
