@@ -57,19 +57,32 @@ def sample_with_encoder_reuse(
             return scheduler.step(pred, t, image, key=k)[0]
         return scheduler.step(pred, t, image, eta=eta, key=k if eta > 0 else None)[0]
 
+    # scan over groups of `refresh_every` steps: the scan body contains one
+    # full forward + (k-1) cached forwards, so the compiled program stays
+    # small (a fully unrolled trajectory schedules poorly at 3D scale)
+    k = refresh_every
+    n_groups = len(timesteps) // k
+    grouped = jnp.asarray(timesteps[: n_groups * k]).reshape(n_groups, k)
+    remainder = [int(t) for t in timesteps[n_groups * k :]]
+
     @jax.jit
     def run(image, key):
-        # unrolled inside one jit: refresh points do a full forward, the
-        # steps in between reuse the cached down features
-        cache = None
-        for i, t in enumerate(timesteps):
+        def group_body(carry, ts_group):
+            image, kkey = carry
+            kkey, sub = jax.random.split(kkey)
+            pred, cache = eval_full(image, ts_group[0])
+            image = do_step(pred, ts_group[0], image, sub)
+            for j in range(1, k):
+                kkey, sub = jax.random.split(kkey)
+                pred = eval_cached(image, ts_group[j], cache)
+                image = do_step(pred, ts_group[j], image, sub)
+            return (image, kkey), None
+
+        (image, key), _ = jax.lax.scan(group_body, (image, key), grouped)
+        for t in remainder:
             key, sub = jax.random.split(key)
-            t = jnp.asarray(int(t))
-            if i % refresh_every == 0:
-                pred, cache = eval_full(image, t)
-            else:
-                pred = eval_cached(image, t, cache)
-            image = do_step(pred, t, image, sub)
+            pred, _ = eval_full(image, jnp.asarray(t))
+            image = do_step(pred, jnp.asarray(t), image, sub)
         return image
 
     return run(input_noise, key)
