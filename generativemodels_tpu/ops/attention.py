@@ -13,8 +13,13 @@ import jax.numpy as jnp
 
 from .flash_attention import flash_attention
 
-# sequence length below which the fused-XLA einsum path is always used
-_FLASH_MIN_SEQ = 1024
+# sequence length below which the fused-XLA einsum path is always used.
+# On-chip profiling (tools/xplane_summary.py) showed the Pallas kernel's
+# per-block DMA staging makes it slightly slower than XLA's fused attention
+# until sequences are long enough that the S^2 score materialisation and
+# HBM traffic dominate (~4k); below that XLA wins, above it flash is the
+# only option (3D volumes reach 32k+ where einsum cannot run at all).
+_FLASH_MIN_SEQ = 4096
 
 
 def _on_tpu() -> bool:

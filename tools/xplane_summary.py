@@ -1,0 +1,127 @@
+"""Summarise a jax.profiler xplane.pb without TensorFlow.
+
+Minimal protobuf wire-format walker for the XSpace/XPlane schema — the
+image's tensorboard-plugin-profile cannot decode traces (proto/pywrap
+version skew), so this extracts the per-op time breakdown directly.
+
+Usage: python tools/xplane_summary.py /tmp/xprof/plugins/profile/*/NAME.xplane.pb
+"""
+from __future__ import annotations
+
+import collections
+import struct
+import sys
+
+
+def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _fields(buf: memoryview):
+    """Yield (field_number, wire_type, value) over a protobuf message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wt == 1:  # 64-bit
+            val = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        elif wt == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:  # 32-bit
+            val = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, val
+
+
+def parse_plane(plane_buf: memoryview):
+    name = ""
+    lines = []
+    event_meta: dict[int, str] = {}
+    for field, _, val in _fields(plane_buf):
+        if field == 2:
+            name = bytes(val).decode(errors="replace")
+        elif field == 3:
+            lines.append(val)
+        elif field == 4:  # map entry: key=1 varint, value=2 XEventMetadata
+            key = None
+            meta_name = ""
+            for f2, _, v2 in _fields(val):
+                if f2 == 1:
+                    key = v2
+                elif f2 == 2:
+                    for f3, _, v3 in _fields(v2):
+                        if f3 == 2:
+                            meta_name = bytes(v3).decode(errors="replace")
+            if key is not None:
+                event_meta[key] = meta_name
+    return name, lines, event_meta
+
+
+def parse_line(line_buf: memoryview):
+    name = ""
+    events = []
+    for field, wt, val in _fields(line_buf):
+        if field == 2 and wt == 2:
+            name = bytes(val).decode(errors="replace")
+        elif field == 4:
+            events.append(val)
+    return name, events
+
+
+def parse_event(event_buf: memoryview):
+    metadata_id = 0
+    duration_ps = 0
+    for field, _, val in _fields(event_buf):
+        if field == 1:
+            metadata_id = val
+        elif field == 3:
+            duration_ps = val
+    return metadata_id, duration_ps
+
+
+def summarize(path: str, top: int = 25, line_filter: str = "XLA Ops"):
+    buf = memoryview(open(path, "rb").read())
+    planes = [val for field, _, val in _fields(buf) if field == 1]
+    for plane_buf in planes:
+        pname, lines, event_meta = parse_plane(plane_buf)
+        if "TPU" not in pname and "/device" not in pname.lower():
+            continue
+        agg: collections.Counter = collections.Counter()
+        for line_buf in lines:
+            lname, events = parse_line(line_buf)
+            if line_filter and line_filter not in lname:
+                continue
+            for ev in events:
+                mid, dur = parse_event(ev)
+                opname = event_meta.get(mid, f"meta:{mid}")
+                # collapse fusion instance suffixes
+                agg[opname.split(".")[0]] += dur
+        total = sum(agg.values())
+        if not total:
+            continue
+        print(f"== plane: {pname}  (line filter: {line_filter!r}, total {total/1e9:.3f} ms)")
+        for opname, dur in agg.most_common(top):
+            print(f"  {dur / total * 100:6.2f}%  {opname[:100]}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    for p in sys.argv[1:]:
+        summarize(p)
