@@ -151,3 +151,47 @@ class TestPrepareBatch:
         _, target, kwargs = pb(images, jax.random.PRNGKey(0))
         expected = sched.get_velocity(images, kwargs["noise"], kwargs["timesteps"])
         np.testing.assert_allclose(np.asarray(target), np.asarray(expected))
+
+
+class TestBatchNormDiscriminatorState:
+    def test_batch_stats_update_through_fused_step(self):
+        """BATCH-norm discriminators carry batch_stats through the fused
+        step (the reference instead warns to convert to SyncBN, 
+        patchgan_discriminator.py:262-267)."""
+        from generativemodels_tpu.networks.nets import PatchDiscriminator
+
+        g, d_unused, g_vars, _, g_forward, _ = _build_models()
+        d = PatchDiscriminator(
+            spatial_dims=2, num_channels=4, in_channels=1, num_layers_d=2, norm="BATCH",
+        )
+        x = jnp.zeros((2, 1, 16, 16))
+        d_vars = d.init(jax.random.PRNGKey(9), x)
+
+        def d_forward(params, model_state, images):
+            outs, mutated = d.apply(
+                {"params": params, "batch_stats": model_state}, images,
+                deterministic=False, mutable=["batch_stats"],
+            )
+            return outs[-1], mutated["batch_stats"]
+
+        adv = PatchAdversarialLoss(criterion="least_squares")
+        g_tx, d_tx = optax.adam(1e-4), optax.adam(1e-4)
+        state = AdversarialTrainState(
+            g_params=g_vars["params"], g_model_state={},
+            g_opt_state=g_tx.init(g_vars["params"]),
+            d_params=d_vars["params"], d_model_state=d_vars["batch_stats"],
+            d_opt_state=d_tx.init(d_vars["params"]),
+            step=jnp.asarray(0),
+        )
+        step = make_adversarial_train_step(
+            g_forward, d_forward, g_tx, d_tx,
+            recon_loss_fn=lambda f, t: jnp.mean(jnp.abs(f - t)),
+            g_loss_fn=lambda l: adv(l, True, False),
+            d_loss_fn=lambda r, f: 0.5 * (adv(r, True, True) + adv(f, False, True)),
+            donate=False,
+        )
+        xin = jax.random.uniform(jax.random.PRNGKey(3), (2, 1, 16, 16))
+        new_state, out = step(state, xin, xin, jax.random.PRNGKey(4))
+        before = jax.tree_util.tree_leaves(state.d_model_state)[0]
+        after = jax.tree_util.tree_leaves(new_state.d_model_state)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))

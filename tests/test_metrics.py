@@ -140,7 +140,7 @@ class TestFID:
         mu_a, mu_b = a.mean(0), b.mean(0)
         sig_a = np.cov(a, rowvar=False)
         sig_b = np.cov(b, rowvar=False)
-        covmean, _ = linalg.sqrtm(sig_a @ sig_b, disp=False)
+        covmean = linalg.sqrtm(sig_a @ sig_b)
         diff = mu_a - mu_b
         expected = diff @ diff + np.trace(sig_a) + np.trace(sig_b) - 2 * np.trace(covmean.real)
         # f32 eigh vs f64 LAPACK sqrtm
