@@ -17,9 +17,10 @@ from .flash_attention import flash_attention
 # On-chip profiling (tools/xplane_summary.py) showed the Pallas kernel's
 # per-block DMA staging makes it slightly slower than XLA's fused attention
 # until sequences are long enough that the S^2 score materialisation and
-# HBM traffic dominate (~4k); below that XLA wins, above it flash is the
-# only option (3D volumes reach 32k+ where einsum cannot run at all).
-_FLASH_MIN_SEQ = 4096
+# HBM traffic dominate; measured on v5e: einsum still ~5% faster at 4096
+# (3D 128^3 DDIM: 6.58 vs 6.25 samples/min). Above ~8k flash is the only
+# option (3D volumes reach 32k+ where einsum cannot run at all).
+_FLASH_MIN_SEQ = 8192
 
 
 def _on_tpu() -> bool:
