@@ -382,3 +382,17 @@ class TestLatentDiffusion3D:
             jax.random.normal(jax.random.PRNGKey(4), z.shape), bound, fn,
         )
         assert img.shape == (1, 1, 16, 16, 16)
+
+
+class TestLatentPNDM:
+    def test_latent_sampling_with_pndm(self, aekl_bound, latent_unet):
+        """PNDM state threads correctly through the latent inferer's scan."""
+        from generativemodels_tpu.networks.schedulers import PNDMScheduler
+
+        scheduler = PNDMScheduler(num_train_timesteps=100, skip_prk_steps=True)
+        scheduler.set_timesteps(10)
+        inferer = LatentDiffusionInferer(scheduler, scale_factor=0.5)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8))
+        img = inferer.sample(noise, aekl_bound, latent_unet, key=jax.random.PRNGKey(1))
+        assert img.shape == (2, 1, 16, 16)
+        assert bool(jnp.isfinite(img).all())
