@@ -87,12 +87,31 @@ def parse_line(line_buf: memoryview):
 def parse_event(event_buf: memoryview):
     metadata_id = 0
     duration_ps = 0
+    offset_ps = 0
     for field, _, val in _fields(event_buf):
         if field == 1:
             metadata_id = val
+        elif field == 2:
+            offset_ps = val
         elif field == 3:
             duration_ps = val
-    return metadata_id, duration_ps
+    return metadata_id, duration_ps, offset_ps
+
+
+def _union_time(intervals: list[tuple[int, int]]) -> int:
+    """Total covered time of possibly-overlapping (start, end) intervals."""
+    if not intervals:
+        return 0
+    intervals.sort()
+    total = 0
+    cur_s, cur_e = intervals[0]
+    for s, e in intervals[1:]:
+        if s > cur_e:
+            total += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    return total + (cur_e - cur_s)
 
 
 def summarize(path: str, top: int = 25, line_filter: str = "XLA Ops"):
@@ -103,19 +122,31 @@ def summarize(path: str, top: int = 25, line_filter: str = "XLA Ops"):
         if "TPU" not in pname and "/device" not in pname.lower():
             continue
         agg: collections.Counter = collections.Counter()
+        copy_iv, compute_iv, all_iv = [], [], []
         for line_buf in lines:
             lname, events = parse_line(line_buf)
             if line_filter and line_filter not in lname:
                 continue
             for ev in events:
-                mid, dur = parse_event(ev)
+                mid, dur, off = parse_event(ev)
                 opname = event_meta.get(mid, f"meta:{mid}")
                 # collapse fusion instance suffixes
                 agg[opname.split(".")[0]] += dur
+                iv = (off, off + dur)
+                all_iv.append(iv)
+                if opname.startswith(("%copy", "%slice-start", "%slice-done")):
+                    copy_iv.append(iv)
+                else:
+                    compute_iv.append(iv)
         total = sum(agg.values())
         if not total:
             continue
-        print(f"== plane: {pname}  (line filter: {line_filter!r}, total {total/1e9:.3f} ms)")
+        busy = _union_time(all_iv)
+        busy_compute = _union_time(compute_iv)
+        busy_copy = _union_time(copy_iv)
+        print(f"== plane: {pname}  (line filter: {line_filter!r})")
+        print(f"  duration-sum {total/1e9:.1f} ms | busy(union) {busy/1e9:.1f} ms | "
+              f"compute-busy {busy_compute/1e9:.1f} ms | copy-busy {busy_copy/1e9:.1f} ms")
         for opname, dur in agg.most_common(top):
             print(f"  {dur / total * 100:6.2f}%  {opname[:100]}")
 
