@@ -211,13 +211,25 @@ class DiffusionInferer:
             predicted_mean = pred_x0_coeff * pred_x0 + current_coeff * noisy_image
 
             posterior_mean = scheduler._get_mean(t, inputs, noisy_image)
-            posterior_variance = scheduler._get_variance(t, predicted_variance)
+            if scheduler.variance_type in ("learned", "learned_range"):
+                # true posterior variance of q(x_{t-1}|x_t,x_0) (DDPM eq. 7);
+                # the scheduler's learned-variance accessor needs the model
+                # output and does not define the true posterior
+                posterior_variance = jnp.clip(
+                    beta_prod_t_prev / beta_prod_t * beta_t, 1e-20, None
+                )
+            else:
+                posterior_variance = scheduler._get_variance(t)
             log_posterior_variance = jnp.log(posterior_variance)
-            log_predicted_variance = (
-                jnp.log(predicted_variance)
-                if predicted_variance is not None
-                else log_posterior_variance
-            )
+            if predicted_variance is not None:
+                # the model's variance channel goes through the scheduler's
+                # variance interpolation; the reference's corresponding path
+                # (inferer.py:243) logs the raw channel and cannot execute —
+                # this is the working definition.
+                model_variance = scheduler._get_variance(t, predicted_variance)
+                log_predicted_variance = jnp.log(jnp.clip(model_variance, 1e-20, None))
+            else:
+                log_predicted_variance = log_posterior_variance
 
             # KL between the true posterior and the model's gaussian (t > 0)
             kl_gauss = 0.5 * (

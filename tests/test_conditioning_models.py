@@ -187,3 +187,22 @@ class TestSPADENet:
                 {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
                 jnp.zeros((1, 3, 15, 16)), jnp.zeros((1, 1, 15, 16)),
             )
+
+
+class TestControlNet3D:
+    def test_3d_controlnet_feeds_3d_unet(self):
+        kwargs = dict(
+            spatial_dims=3, num_res_blocks=1, num_channels=(8, 8),
+            attention_levels=(False, False), norm_num_groups=8, num_head_channels=8,
+        )
+        cn = ControlNet(in_channels=1, conditioning_embedding_num_channels=(8,), **kwargs)
+        unet = DiffusionModelUNet(in_channels=1, out_channels=1, **kwargs)
+        x = jnp.zeros((1, 1, 16, 16, 16))
+        t = jnp.array([0])
+        cond = jnp.zeros((1, 1, 16, 16, 16))
+        cn_vars = cn.init(jax.random.PRNGKey(0), x, t, cond)
+        unet_vars = unet.init(jax.random.PRNGKey(1), x, t)
+        down, mid = cn.apply(cn_vars, x, t, cond)
+        out = unet.apply(unet_vars, x, t, down_block_additional_residuals=down,
+                         mid_block_additional_residual=mid)
+        assert out.shape == (1, 1, 16, 16, 16)

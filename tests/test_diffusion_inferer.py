@@ -236,3 +236,22 @@ class TestTrainStep:
             params, opt_state, loss = train_step(params, opt_state, sub)
             losses.append(float(loss))
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+class TestLearnedVarianceLikelihood:
+    def test_likelihood_with_learned_range_variance(self):
+        """get_likelihood must split the channel-doubled output and use the
+        predicted variance (reference inferer.py:206-243)."""
+        model = DiffusionModelUNet(
+            spatial_dims=2, in_channels=1, out_channels=2, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, False), norm_num_groups=8,
+        )
+        x = jnp.zeros((2, 1, 16, 16))
+        variables = model.init(jax.random.PRNGKey(0), x, jnp.array([0, 0]))
+        fn = lambda x, t, context=None: model.apply(variables, x, t)
+        scheduler = DDPMScheduler(num_train_timesteps=10, variance_type="learned_range")
+        inferer = DiffusionInferer(scheduler)
+        inputs = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 16, 16)) * 2 - 1
+        ll = inferer.get_likelihood(inputs, fn, key=jax.random.PRNGKey(2))
+        assert ll.shape == (2,)
+        assert bool(jnp.isfinite(ll).all())

@@ -396,3 +396,47 @@ class TestLatentPNDM:
         img = inferer.sample(noise, aekl_bound, latent_unet, key=jax.random.PRNGKey(1))
         assert img.shape == (2, 1, 16, 16)
         assert bool(jnp.isfinite(img).all())
+
+
+class TestSPADELatentDiffusion:
+    def test_seg_threads_through_both_stages(self):
+        """SPADE AEKL decoder + SPADE UNet under the latent inferer: `seg`
+        must reach the UNet every step and the decoder at the end
+        (reference inferer.py:434-483)."""
+        from generativemodels_tpu.networks.nets import (
+            SPADEAutoencoderKL, SPADEDiffusionModelUNet,
+        )
+
+        label_nc = 3
+        aekl = SPADEAutoencoderKL(
+            spatial_dims=2, label_nc=label_nc, in_channels=1, out_channels=1,
+            num_res_blocks=1, num_channels=(4, 4), attention_levels=(False, False),
+            latent_channels=3, norm_num_groups=4, with_encoder_nonlocal_attn=False,
+            with_decoder_nonlocal_attn=False, spade_intermediate_channels=8,
+        )
+        x = jnp.zeros((1, 1, 16, 16))
+        seg = jnp.zeros((1, label_nc, 16, 16)).at[:, 0].set(1.0)
+        a_vars = aekl.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, x, seg
+        )
+        bound = aekl.bind(a_vars, rngs={"sampling": jax.random.PRNGKey(2)})
+
+        unet = SPADEDiffusionModelUNet(
+            spatial_dims=2, in_channels=3, out_channels=3, label_nc=label_nc,
+            num_res_blocks=1, num_channels=(8, 8), attention_levels=(False, False),
+            norm_num_groups=8, spade_intermediate_channels=8,
+        )
+        z = jnp.zeros((1, 3, 8, 8))
+        seg_latent = jnp.zeros((1, label_nc, 8, 8)).at[:, 0].set(1.0)
+        u_vars = unet.init(jax.random.PRNGKey(3), z, jnp.array([0]), seg_latent)
+
+        def fn(x, t, context=None, seg=None, **kw):
+            return unet.apply(u_vars, x, t, seg, context=context, **kw)
+
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        inferer = LatentDiffusionInferer(scheduler, scale_factor=0.5)
+        # note: UNet consumes the latent-resolution seg; decoder the image one
+        pred = inferer(
+            x, bound, fn, jnp.zeros_like(z), jnp.array([2]), seg=seg_latent
+        )
+        assert pred.shape == z.shape
