@@ -1,4 +1,5 @@
 from .diffusion_autoencoder import SemanticEncoder, diffusion_autoencoder_loss, reconstruct
+from .brain_ldm_sampler import make_conditioning, sample_brain_ldm
 from .anomaly import anomaly_map, ddim_decode, ddim_encode
 from .classifier_guidance import classifier_grad, sample_with_classifier_guidance
 from .fast_sampling import sample_with_encoder_reuse
@@ -10,6 +11,8 @@ __all__ = [
     "SemanticEncoder",
     "diffusion_autoencoder_loss",
     "reconstruct",
+    "make_conditioning",
+    "sample_brain_ldm",
     "anomaly_map",
     "ddim_decode",
     "ddim_encode",

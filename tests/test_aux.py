@@ -352,3 +352,43 @@ class TestClassifierGuidance:
             guidance_scale=0.0, key=jax.random.PRNGKey(3),
         )
         assert not np.allclose(np.asarray(guided), np.asarray(unguided))
+
+
+class TestBrainLDMSampler:
+    def test_conditioned_brain_sampling(self):
+        """Bundle-style conditioned sampling through the brain_3d_ldm wiring."""
+        from generativemodels_tpu.networks.nets import AutoencoderKL
+        from generativemodels_tpu.networks.schedulers import DDIMScheduler
+        from generativemodels_tpu.recipes import make_conditioning, sample_brain_ldm
+
+        aekl = AutoencoderKL(
+            spatial_dims=3, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(4, 4), attention_levels=(False, False), latent_channels=3,
+            norm_num_groups=4, with_encoder_nonlocal_attn=False,
+            with_decoder_nonlocal_attn=False,
+        )
+        x = jnp.zeros((1, 1, 16, 16, 16))
+        a_vars = aekl.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, x
+        )
+        bound = aekl.bind(a_vars, rngs={"sampling": jax.random.PRNGKey(2)})
+
+        unet = DiffusionModelUNet(
+            spatial_dims=3, in_channels=3, out_channels=3, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, True), norm_num_groups=8,
+            num_head_channels=8, with_conditioning=True, cross_attention_dim=4,
+        )
+        z = jnp.zeros((1, 3, 8, 8, 8))
+        u_vars = unet.init(jax.random.PRNGKey(3), z, jnp.array([0]),
+                           context=jnp.zeros((1, 1, 4)))
+        fn = lambda x, t, context=None, **kw: unet.apply(u_vars, x, t, context=context, **kw)
+
+        cond = make_conditioning(1.0, 0.7, 0.3, 0.5)
+        assert cond.shape == (1, 1, 4)
+        scheduler = DDIMScheduler(num_train_timesteps=100)
+        img = sample_brain_ldm(
+            fn, bound, scheduler, latent_shape=(1, 3, 8, 8, 8),
+            gender=1.0, age=0.7, num_inference_steps=5, key=jax.random.PRNGKey(4),
+        )
+        assert img.shape == (1, 1, 16, 16, 16)
+        assert bool(jnp.isfinite(img).all())
