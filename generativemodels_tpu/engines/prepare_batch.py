@@ -7,10 +7,7 @@ velocity). JAX version: explicit PRNG keys, dict or array batches.
 """
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
-import jax.numpy as jnp
 
 
 class DiffusionPrepareBatch:

@@ -17,7 +17,7 @@ from collections.abc import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..blocks.convolutions import ConvND, avg_pool
+from ..blocks.convolutions import avg_pool
 
 __all__ = ["PatchDiscriminator", "MultiScalePatchDiscriminator"]
 

@@ -217,6 +217,9 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret):
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :sq], (q, k, v, out[:, :sq], lse)
@@ -257,6 +260,9 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, dout):
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(qp, kp, vp, dop, lse, delta)
 
@@ -283,6 +289,9 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, dout):
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(qp, kp, vp, dop, lse, delta)
 

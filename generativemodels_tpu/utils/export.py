@@ -7,7 +7,7 @@ invoked in a serving process without the model-building python code.
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
