@@ -233,3 +233,69 @@ class TestPNDM:
             mo = x * 0.05 + 0.01
             x, state = s.step(state, mo, int(t), x)
         np.testing.assert_allclose(np.asarray(final_scan), np.asarray(x), rtol=1e-5, atol=1e-6)
+
+
+class TestFullTrajectoryParity:
+    """Coupled-model full sampling trajectories vs the reference."""
+
+    @needs_ref
+    def test_ddpm_deterministic_trajectory(self):
+        import torch
+
+        ours = DDPMScheduler(num_train_timesteps=50)
+        theirs = ref_schedulers.DDPMScheduler(num_train_timesteps=50)
+        ours.set_timesteps(10)
+        theirs.set_timesteps(10)
+
+        x_j = jnp.asarray(_rand((1, 1, 8, 8), 3))
+        x_t = torch.from_numpy(np.asarray(x_j).copy())
+        for t in ours.timesteps:
+            mo_j = x_j * 0.1 - 0.05
+            mo_t = x_t * 0.1 - 0.05
+            # deterministic comparison: our key=None adds no noise; zero the
+            # reference's noise by monkeypatching torch.randn
+            x_j, _ = ours.step(mo_j, int(t), x_j, key=None)
+            orig_randn = torch.randn
+            # the reference draws torch.randn(model_output.size(), ...)
+            torch.randn = lambda size, **k: torch.zeros(size)
+            try:
+                x_t, _ = theirs.step(mo_t, int(t), x_t)
+            finally:
+                torch.randn = orig_randn
+            np.testing.assert_allclose(np.asarray(x_j), x_t.numpy(), rtol=5e-4, atol=1e-5)
+
+    @needs_ref
+    def test_ddim_full_trajectory(self):
+        import torch
+
+        ours = DDIMScheduler(num_train_timesteps=100)
+        theirs = ref_schedulers.DDIMScheduler(num_train_timesteps=100)
+        ours.set_timesteps(20)
+        theirs.set_timesteps(20)
+
+        x_j = jnp.asarray(_rand((1, 1, 8, 8), 4))
+        x_t = torch.from_numpy(np.asarray(x_j).copy())
+        for t in ours.timesteps:
+            mo_j = jnp.tanh(x_j) * 0.2
+            mo_t = torch.tanh(x_t) * 0.2
+            x_j, _ = ours.step(mo_j, int(t), x_j, eta=0.0)
+            x_t, _ = theirs.step(mo_t, int(t), x_t, eta=0.0)
+        np.testing.assert_allclose(np.asarray(x_j), x_t.numpy(), rtol=5e-4, atol=1e-5)
+
+    @needs_ref
+    def test_ddim_reversed_trajectory(self):
+        import torch
+
+        ours = DDIMScheduler(num_train_timesteps=100, clip_sample=False)
+        theirs = ref_schedulers.DDIMScheduler(num_train_timesteps=100, clip_sample=False)
+        ours.set_timesteps(10)
+        theirs.set_timesteps(10)
+
+        x_j = jnp.asarray(_rand((1, 1, 8, 8), 5))
+        x_t = torch.from_numpy(np.asarray(x_j).copy())
+        for t in list(ours.timesteps)[::-1][:5]:
+            mo_j = x_j * 0.05
+            mo_t = x_t * 0.05
+            x_j, _ = ours.reversed_step(mo_j, int(t), x_j)
+            x_t, _ = theirs.reversed_step(mo_t, int(t), x_t)
+        np.testing.assert_allclose(np.asarray(x_j), x_t.numpy(), rtol=5e-4, atol=1e-5)
