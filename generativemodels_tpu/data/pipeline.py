@@ -1,0 +1,80 @@
+"""Batching + device-prefetch utilities on top of the native loader.
+
+Completes the data path: file iteration (native threaded NIfTI loader or
+.npy), batching, and a device prefetcher that keeps N batches in flight so
+host->device copies overlap TPU compute (the torch-DataLoader+pin_memory
+role in the reference tutorials).
+"""
+from __future__ import annotations
+
+import collections
+import glob
+import os
+from typing import Iterable, Iterator
+
+import jax
+import numpy as np
+
+
+def file_dataset(
+    data_dir: str,
+    pattern: str = "*",
+    num_workers: int = 4,
+    loop: bool = True,
+) -> Iterator[np.ndarray]:
+    """Yield float32 arrays from .nii/.nii.gz (native loader) or .npy files."""
+    paths = sorted(
+        p for p in glob.glob(os.path.join(data_dir, pattern))
+        if p.endswith((".nii", ".nii.gz", ".npy"))
+    )
+    if not paths:
+        raise FileNotFoundError(f"no .nii/.nii.gz/.npy files under {data_dir}/{pattern}")
+
+    nifti_paths = [p for p in paths if not p.endswith(".npy")]
+    npy_paths = [p for p in paths if p.endswith(".npy")]
+
+    if nifti_paths and not npy_paths:
+        from .native import PrefetchNiftiLoader
+
+        loader = PrefetchNiftiLoader(nifti_paths, num_workers=num_workers, loop=loop)
+        yield from iter(loader)
+        return
+
+    while True:
+        for p in npy_paths:
+            yield np.load(p).astype(np.float32)
+        if not loop:
+            return
+
+
+def batched(source: Iterable[np.ndarray], batch_size: int) -> Iterator[np.ndarray]:
+    """Stack fixed-shape samples into (B, ...) batches (drops remainder)."""
+    buf = []
+    for item in source:
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield np.stack(buf)
+            buf = []
+
+
+def prefetch_to_device(iterator: Iterable, size: int = 2, devices=None) -> Iterator:
+    """Keep `size` batches in flight on device ahead of the consumer.
+
+    jax.device_put is async: enqueueing the next batches' transfers before
+    the consumer needs them overlaps host->device copies with compute.
+    """
+    queue = collections.deque()
+
+    def enqueue(n):
+        for _ in range(n):
+            try:
+                batch = next(iterator)
+            except StopIteration:
+                return
+            queue.append(jax.tree_util.tree_map(jax.device_put, batch))
+
+    iterator = iter(iterator)
+    enqueue(size)
+    while queue:
+        yield queue.popleft()
+        enqueue(1)

@@ -42,6 +42,8 @@ def main() -> None:
     parser.add_argument("--lr", type=float, default=2.5e-5)
     parser.add_argument("--channels", type=int, nargs="+", default=[128, 256, 256])
     parser.add_argument("--data-parallel", action="store_true")
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help=".nii/.nii.gz/.npy directory; synthetic blobs if omitted")
     parser.add_argument("--checkpoint-dir", type=str, default=None)
     parser.add_argument("--sample", action="store_true", help="sample after training")
     args = parser.parse_args()
@@ -67,9 +69,24 @@ def main() -> None:
     mgr = CheckpointManager(args.checkpoint_dir) if args.checkpoint_dir else None
     timer = StepTimer(warmup=2)
     rng = jax.random.PRNGKey(42)
+
+    data_iter = None
+    if args.data_dir:
+        from ..data import batched, file_dataset, prefetch_to_device
+
+        source = batched(file_dataset(args.data_dir), args.batch)
+        data_iter = prefetch_to_device(
+            (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
+             for b in source),
+            size=2,
+        )
+
     for i in range(args.steps):
         rng, k_data, k_step = jax.random.split(rng, 3)
-        images = synthetic_batch(k_data, args.batch, args.size) * 2 - 1
+        if data_iter is not None:
+            images = next(data_iter) * 2 - 1
+        else:
+            images = synthetic_batch(k_data, args.batch, args.size) * 2 - 1
         if mesh:
             images = shard_batch(images, mesh)
         state, loss = step(state, images, k_step)

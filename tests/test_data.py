@@ -74,3 +74,34 @@ class TestPrefetchLoader:
             v = next(it)
             assert v.shape == (8, 16, 16)
         loader.close()
+
+
+class TestPipeline:
+    def test_batched_and_prefetch(self, nifti_dir):
+        import jax
+
+        from generativemodels_tpu.data import batched, file_dataset, prefetch_to_device
+
+        d, paths, _ = nifti_dir
+        source = batched(file_dataset(d, pattern="vol_*.nii", loop=False), batch_size=2)
+        batches = list(prefetch_to_device(source, size=2))
+        assert len(batches) == 3  # 6 volumes / batch 2
+        assert batches[0].shape == (2, 8, 16, 16)
+        assert isinstance(batches[0], jax.Array)
+
+    def test_npy_dataset(self, tmp_path):
+        from generativemodels_tpu.data import batched, file_dataset
+
+        for i in range(4):
+            np.save(tmp_path / f"img_{i}.npy", np.full((4, 4), float(i), np.float32))
+        it = file_dataset(str(tmp_path), loop=False)
+        vals = sorted(float(a[0, 0]) for a in it)
+        assert vals == [0.0, 1.0, 2.0, 3.0]
+        b = next(batched(file_dataset(str(tmp_path), loop=True), 4))
+        assert b.shape == (4, 4, 4)
+
+    def test_missing_dir(self):
+        from generativemodels_tpu.data import file_dataset
+
+        with pytest.raises(FileNotFoundError):
+            next(file_dataset("/nonexistent_dir_xyz"))

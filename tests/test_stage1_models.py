@@ -256,3 +256,81 @@ class TestLosses:
         amp = lambda f: torch.sqrt(f.real**2 + f.imag**2)
         expected = float(torch.mean((amp(fa) - amp(fb)) ** 2))
         assert ours == pytest.approx(expected, rel=1e-4)
+
+
+class TestEMAQuantizerGoldenParity:
+    """Exact EMA-update parity against the reference implementation."""
+
+    def _load_ref(self):
+        import importlib.util
+        import sys
+
+        import pytest
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_vector_quantizer",
+            "/root/reference/generative/networks/layers/vector_quantizer.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        try:
+            spec.loader.exec_module(mod)
+        except Exception:
+            pytest.skip("reference quantizer not importable")
+        return mod
+
+    def test_training_updates_match_reference(self):
+        import torch
+
+        ref = self._load_ref()
+        K, D = 8, 4
+        rng = np.random.RandomState(0)
+        codebook = rng.standard_normal((K, D)).astype(np.float32)
+
+        theirs = ref.EMAQuantizer(
+            spatial_dims=2, num_embeddings=K, embedding_dim=D, decay=0.7, ddp_sync=False
+        )
+        with torch.no_grad():
+            theirs.embedding.weight.copy_(torch.from_numpy(codebook))
+            theirs.ema_w.copy_(torch.from_numpy(codebook))
+        theirs.train()
+
+        q = EMAQuantizer(spatial_dims=2, num_embeddings=K, embedding_dim=D, decay=0.7,
+                         ddp_sync=False)
+        x0 = jnp.zeros((2, 4, 4, D))
+        variables = q.init(jax.random.PRNGKey(0), x0)
+        variables = {
+            "codebook": {
+                "embedding": jnp.asarray(codebook),
+                "ema_cluster_size": jnp.zeros(K),
+                "ema_w": jnp.asarray(codebook),
+            }
+        }
+
+        for step in range(3):
+            x = rng.standard_normal((2, 4, 4, D)).astype(np.float32)
+            # ours: channels-last
+            (quant_j, loss_j, idx_j), mutated = q.apply(
+                variables, jnp.asarray(x), train=True, mutable=["codebook"]
+            )
+            variables = {"codebook": mutated["codebook"]}
+            # theirs: channels-first
+            xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+            quant_t, loss_t, idx_t = theirs(xt)
+
+            np.testing.assert_array_equal(np.asarray(idx_j), idx_t.numpy())
+            np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(
+                np.asarray(quant_j),
+                np.transpose(quant_t.detach().numpy(), (0, 2, 3, 1)),
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(variables["codebook"]["embedding"]),
+                theirs.embedding.weight.detach().numpy(),
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(variables["codebook"]["ema_cluster_size"]),
+                theirs.ema_cluster_size.numpy(),
+                rtol=1e-5, atol=1e-6,
+            )
