@@ -41,6 +41,7 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--lr", type=float, default=2.5e-5)
     parser.add_argument("--channels", type=int, nargs="+", default=[128, 256, 256])
+    parser.add_argument("--norm-groups", type=int, default=32)
     parser.add_argument("--data-parallel", action="store_true")
     parser.add_argument("--data-dir", type=str, default=None,
                         help=".nii/.nii.gz/.npy directory; synthetic blobs if omitted")
@@ -53,6 +54,7 @@ def main() -> None:
         num_channels=tuple(args.channels),
         attention_levels=(False,) + (True,) * (len(args.channels) - 1),
         num_head_channels=args.channels[-1],
+        norm_num_groups=args.norm_groups,
     )
     scheduler = DDPMScheduler(num_train_timesteps=1000)
     tx = optax.adam(args.lr)
