@@ -25,7 +25,11 @@ _METHODS = {
 
 
 class SpatialRescaler(nn.Module):
-    """Interpolation-based resizer for conditioning images (B, *spatial, C)."""
+    """Interpolation-based resizer for conditioning images.
+
+    Public layout is (B, C, *spatial) like the other components (the
+    reference's F.interpolate semantics); channels-last internally.
+    """
 
     spatial_dims: int = 2
     n_stages: int = 1
@@ -50,6 +54,9 @@ class SpatialRescaler(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        perm = (0,) + tuple(range(2, 2 + self.spatial_dims)) + (1,)
+        inv_perm = (0, self.spatial_dims + 1) + tuple(range(1, self.spatial_dims + 1))
+        x = jnp.transpose(x, perm)
         if self.out_channels is not None:
             x = ConvND(
                 self.spatial_dims,
@@ -74,7 +81,7 @@ class SpatialRescaler(nn.Module):
                 else:
                     size = tuple(int(s * m) for s, m in zip(x.shape[1:-1], mult))
             x = jax.image.resize(x, (x.shape[0], *size, x.shape[-1]), method=method)
-        return x
+        return jnp.transpose(x, inv_perm)
 
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:
         return self(x)

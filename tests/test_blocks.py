@@ -20,36 +20,36 @@ from generativemodels_tpu.networks.blocks import (
 class TestSpatialRescaler:
     def test_downscale_by_multiplier(self):
         r = SpatialRescaler(spatial_dims=2, n_stages=1, multiplier=0.5, method="bilinear")
-        x = jnp.zeros((1, 16, 16, 3))  # channels-last
+        x = jnp.zeros((1, 3, 16, 16))  # public channels-first layout
         v = r.init(jax.random.PRNGKey(0), x)
         out = r.apply(v, x)
-        assert out.shape == (1, 8, 8, 3)
+        assert out.shape == (1, 3, 8, 8)
 
     def test_fixed_size(self):
         r = SpatialRescaler(spatial_dims=2, n_stages=1, size=(4, 6), method="nearest")
-        x = jnp.zeros((2, 16, 16, 1))
+        x = jnp.zeros((2, 1, 16, 16))
         v = r.init(jax.random.PRNGKey(0), x)
-        assert r.apply(v, x).shape == (2, 4, 6, 1)
+        assert r.apply(v, x).shape == (2, 1, 4, 6)
 
     def test_channel_mapper(self):
         r = SpatialRescaler(spatial_dims=2, multiplier=0.5, in_channels=3, out_channels=2)
-        x = jnp.zeros((1, 8, 8, 3))
+        x = jnp.zeros((1, 3, 8, 8))
         v = r.init(jax.random.PRNGKey(0), x)
-        assert r.apply(v, x).shape == (1, 4, 4, 2)
+        assert r.apply(v, x).shape == (1, 2, 4, 4)
 
     def test_validation(self):
         with pytest.raises(ValueError):
-            SpatialRescaler(method="bogus").init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 1)))
+            SpatialRescaler(method="bogus").init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 4, 4)))
         with pytest.raises(ValueError):
             SpatialRescaler(size=(4, 4), n_stages=2).init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 1))
+                jax.random.PRNGKey(0), jnp.zeros((1, 1, 4, 4))
             )
 
     def test_3d_trilinear(self):
         r = SpatialRescaler(spatial_dims=3, multiplier=0.5, method="trilinear")
-        x = jnp.zeros((1, 8, 8, 8, 1))
+        x = jnp.zeros((1, 1, 8, 8, 8))
         v = r.init(jax.random.PRNGKey(0), x)
-        assert r.apply(v, x).shape == (1, 4, 4, 4, 1)
+        assert r.apply(v, x).shape == (1, 1, 4, 4, 4)
 
 
 class TestSPADENorm:
