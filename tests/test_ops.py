@@ -112,3 +112,23 @@ class TestFlashAttentionGradients:
         gf, ge = loss(True), loss(False)
         for a, b in zip(gf, ge):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+class TestTimestepEmbeddingGoldenParity:
+    def test_matches_reference_formula(self):
+        """Bit-level comparison with the reference's torch implementation
+        (diffusion_model_unet.py:461-485)."""
+        import math
+
+        import torch
+
+        t = torch.tensor([0, 7, 250, 999])
+        dim, max_period = 64, 10000
+        half = dim // 2
+        exponent = -math.log(max_period) * torch.arange(half, dtype=torch.float32)
+        freqs = torch.exp(exponent / half)
+        args = t[:, None].float() * freqs[None, :]
+        expected = torch.cat([torch.cos(args), torch.sin(args)], dim=-1).numpy()
+
+        ours = get_timestep_embedding(jnp.asarray([0, 7, 250, 999]), dim)
+        np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-5, atol=2e-6)
