@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import warnings
 
+import jax
 import jax.nn
 import jax.numpy as jnp
 
@@ -98,3 +99,27 @@ class PatchAdversarialLoss:
         if self.reduction == "sum":
             return jnp.sum(jnp.stack(losses))
         return losses
+
+
+def feature_matching_loss(real_features, fake_features) -> jnp.ndarray:
+    """Pix2PixHD feature-matching loss over discriminator intermediates.
+
+    The reference's PatchDiscriminator returns all intermediate features
+    precisely to enable this regulariser (patchgan_discriminator.py:269-283).
+    Accepts per-discriminator lists (multi-scale) or flat feature lists;
+    real features are treated as constants (stop_gradient).
+    """
+    if real_features and isinstance(real_features[0], (list, tuple)):
+        pairs = [
+            (r, f)
+            for rs, fs in zip(real_features, fake_features)
+            for r, f in zip(rs, fs)
+        ]
+    else:
+        pairs = list(zip(real_features, fake_features))
+    if not pairs:
+        raise ValueError("feature_matching_loss needs at least one feature pair")
+    losses = [
+        jnp.mean(jnp.abs(jax.lax.stop_gradient(r) - f)) for r, f in pairs
+    ]
+    return jnp.mean(jnp.stack(losses))

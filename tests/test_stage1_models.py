@@ -334,3 +334,35 @@ class TestEMAQuantizerGoldenParity:
                 theirs.ema_cluster_size.numpy(),
                 rtol=1e-5, atol=1e-6,
             )
+
+
+class TestFeatureMatchingLoss:
+    def test_flat_and_multiscale(self):
+        from generativemodels_tpu.losses import feature_matching_loss
+
+        d = PatchDiscriminator(spatial_dims=2, num_channels=4, in_channels=1,
+                               num_layers_d=2, norm="INSTANCE")
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 32, 32))
+        y = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 32, 32))
+        v = d.init(jax.random.PRNGKey(2), x)
+        real_feats = d.apply(v, x)[:-1]
+        fake_feats = d.apply(v, y)[:-1]
+        loss = feature_matching_loss(real_feats, fake_feats)
+        assert float(loss) > 0
+        assert float(feature_matching_loss(real_feats, real_feats)) == 0.0
+
+        md = MultiScalePatchDiscriminator(
+            num_d=2, num_layers_d=2, spatial_dims=2, num_channels=4, in_channels=1,
+            pooling_method="avg", norm="INSTANCE", minimum_size_im=32,
+        )
+        mv = md.init(jax.random.PRNGKey(3), x)
+        _, rf = md.apply(mv, x)
+        _, ff = md.apply(mv, y)
+        assert float(feature_matching_loss(rf, ff)) > 0
+
+    def test_gradient_only_through_fake(self):
+        from generativemodels_tpu.losses import feature_matching_loss
+
+        real = [jnp.ones((2, 4))]
+        g = jax.grad(lambda f: feature_matching_loss(real, [f]))(jnp.zeros((2, 4)))
+        assert bool((jnp.abs(g) > 0).all())
