@@ -5,6 +5,7 @@ from .classifier_guidance import classifier_grad, sample_with_classifier_guidanc
 from .fast_sampling import sample_with_encoder_reuse
 from .guidance import drop_condition, sample_with_guidance
 from .inpaint import inpaint
+from .train_vqgan import VQGANState, make_vqgan_step
 from .super_resolution import compute_scale_factor, prepare_sr_batch, sample_super_resolution
 
 __all__ = [
@@ -25,4 +26,6 @@ __all__ = [
     "compute_scale_factor",
     "prepare_sr_batch",
     "sample_super_resolution",
+    "VQGANState",
+    "make_vqgan_step",
 ]

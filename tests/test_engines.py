@@ -195,3 +195,47 @@ class TestBatchNormDiscriminatorState:
         before = jax.tree_util.tree_leaves(state.d_model_state)[0]
         after = jax.tree_util.tree_leaves(new_state.d_model_state)[0]
         assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TestVQGANStep:
+    def test_fused_step_updates_g_d_and_codebook(self):
+        import optax
+        from generativemodels_tpu.networks.nets import PatchDiscriminator, VQVAE
+        from generativemodels_tpu.recipes import VQGANState, make_vqgan_step
+
+        vqvae = VQVAE(
+            spatial_dims=2, in_channels=1, out_channels=1,
+            num_channels=(8, 8), num_res_layers=1, num_res_channels=(8, 8),
+            downsample_parameters=((2, 4, 1, 1), (2, 4, 1, 1)),
+            upsample_parameters=((2, 4, 1, 1, 0), (2, 4, 1, 1, 0)),
+            num_embeddings=16, embedding_dim=4,
+        )
+        disc = PatchDiscriminator(spatial_dims=2, num_channels=4, in_channels=1,
+                                  num_layers_d=2, norm="INSTANCE")
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 32, 32))
+        g_vars = vqvae.init(jax.random.PRNGKey(1), x, train=False)
+        d_vars = disc.init(jax.random.PRNGKey(2), x)
+        g_tx, d_tx = optax.adam(1e-3), optax.adam(1e-3)
+        state = VQGANState(
+            g_params=g_vars["params"], codebook=g_vars["codebook"],
+            g_opt_state=g_tx.init(g_vars["params"]),
+            d_params=d_vars["params"], d_opt_state=d_tx.init(d_vars["params"]),
+            step=jnp.asarray(0),
+        )
+        step = make_vqgan_step(vqvae, disc, g_tx, d_tx, adv_weight=0.01)
+        new_state, out = step(state, x)
+
+        assert int(new_state.step) == 1
+        for key in ("reconstruction_loss", "quantization_loss",
+                    "generator_loss", "feature_matching_loss", "d_total"):
+            assert jnp.isfinite(out[key])
+        # G params, D params and the EMA codebook must all have moved
+        g_moved = jax.tree_util.tree_map(
+            lambda a, b: bool((a != b).any()), state.g_params, new_state.g_params)
+        assert any(jax.tree_util.tree_leaves(g_moved))
+        d_moved = jax.tree_util.tree_map(
+            lambda a, b: bool((a != b).any()), state.d_params, new_state.d_params)
+        assert any(jax.tree_util.tree_leaves(d_moved))
+        cb_moved = jax.tree_util.tree_map(
+            lambda a, b: bool((a != b).any()), state.codebook, new_state.codebook)
+        assert any(jax.tree_util.tree_leaves(cb_moved))
