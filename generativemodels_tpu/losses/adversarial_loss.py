@@ -64,16 +64,24 @@ class PatchAdversarialLoss:
         if self.activation is not None:
             disc_out = self.activation(disc_out)
 
+        # Reference semantics (adversarial_loss.py:160-170): for bce and
+        # least_squares the torch loss module applies `reduction` over ALL
+        # elements of each discriminator output; hinge always takes the mean.
         if self.criterion == AdversarialCriterions.BCE.value:
             target = self.real_label if target_is_real else self.fake_label
             p = jnp.clip(disc_out, 1e-7, 1 - 1e-7)
-            return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
-        if self.criterion == AdversarialCriterions.HINGE.value:
+            elems = -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+        elif self.criterion == AdversarialCriterions.HINGE.value:
             signed = disc_out if target_is_real else -disc_out
             return -jnp.mean(jnp.minimum(signed - 1.0, 0.0))
-        # least squares
-        target = self.real_label if target_is_real else self.fake_label
-        return jnp.mean((disc_out - target) ** 2)
+        else:  # least squares
+            target = self.real_label if target_is_real else self.fake_label
+            elems = (disc_out - target) ** 2
+        if self.reduction == "sum":
+            return jnp.sum(elems)
+        if self.reduction == "none":
+            return elems
+        return jnp.mean(elems)
 
     def __call__(self, input, target_is_real: bool, for_discriminator: bool):
         """Compute the loss for one or several discriminator outputs.

@@ -70,3 +70,79 @@ def load_reference_schedulers():
         return ref_schedulers
     except Exception:
         return None
+
+
+def load_reference_losses():
+    """Returns the reference `generative.losses.adversarial_loss` module or None."""
+    _install_monai_stub()
+    import sys as _sys
+
+    try:
+        import torch
+
+        monai = _sys.modules["monai"]
+        layers_utils = types.ModuleType("monai.networks.layers.utils")
+
+        def get_act_layer(name):
+            if isinstance(name, tuple):
+                kind, kwargs = name
+            else:
+                kind, kwargs = name, {}
+            kind = kind.upper()
+            if kind == "SIGMOID":
+                return torch.nn.Sigmoid()
+            if kind == "TANH":
+                return torch.nn.Tanh()
+            if kind == "LEAKYRELU":
+                return torch.nn.LeakyReLU(**kwargs)
+            raise ValueError(kind)
+
+        layers_utils.get_act_layer = get_act_layer
+        networks = types.ModuleType("monai.networks")
+        layers = types.ModuleType("monai.networks.layers")
+        networks.layers = layers
+        layers.utils = layers_utils
+        monai.networks = networks
+        _sys.modules["monai.networks"] = networks
+        _sys.modules["monai.networks.layers"] = layers
+        _sys.modules["monai.networks.layers.utils"] = layers_utils
+
+        class LossReduction(str, Enum):
+            NONE = "none"
+            MEAN = "mean"
+            SUM = "sum"
+
+            def __str__(self):
+                return self.value
+
+        _sys.modules["monai.utils"].LossReduction = LossReduction
+        _sys.modules["monai"].utils.LossReduction = LossReduction
+        utils_enums = types.ModuleType("monai.utils.enums")
+        utils_enums.StrEnum = _sys.modules["monai.utils"].StrEnum
+        _sys.modules["monai.utils"].enums = utils_enums
+        _sys.modules["monai.utils.enums"] = utils_enums
+
+        # generative.losses.__init__ pulls in perceptual.py, which needs
+        # lpips/torchvision (absent here) — stub just enough to import.
+        lpips_mod = types.ModuleType("lpips")
+        lpips_mod.LPIPS = type("LPIPS", (), {})
+        _sys.modules.setdefault("lpips", lpips_mod)
+        tv = types.ModuleType("torchvision")
+        tv_models = types.ModuleType("torchvision.models")
+        tv_fx = types.ModuleType("torchvision.models.feature_extraction")
+        tv_models.ResNet50_Weights = type("ResNet50_Weights", (), {})
+        tv_models.resnet50 = lambda *a, **k: None
+        tv_fx.create_feature_extractor = lambda *a, **k: None
+        tv.models = tv_models
+        tv_models.feature_extraction = tv_fx
+        _sys.modules.setdefault("torchvision", tv)
+        _sys.modules.setdefault("torchvision.models", tv_models)
+        _sys.modules.setdefault("torchvision.models.feature_extraction", tv_fx)
+
+        if REFERENCE_PATH not in _sys.path:
+            _sys.path.insert(0, REFERENCE_PATH)
+        import generative.losses.adversarial_loss as ref_adv
+
+        return ref_adv
+    except Exception:
+        return None

@@ -366,3 +366,58 @@ class TestFeatureMatchingLoss:
         real = [jnp.ones((2, 4))]
         g = jax.grad(lambda f: feature_matching_loss(real, [f]))(jnp.zeros((2, 4)))
         assert bool((jnp.abs(g) > 0).all())
+
+
+class TestAdversarialLossGoldenParity:
+    """Bit-level parity of PatchAdversarialLoss vs the reference torch module.
+
+    Reference: generative/losses/adversarial_loss.py:29-170.
+    """
+
+    @pytest.mark.parametrize("criterion", ["bce", "hinge", "least_squares"])
+    @pytest.mark.parametrize("reduction", ["mean", "sum"])
+    def test_matches_reference(self, criterion, reduction):
+        from .ref_loader import load_reference_losses
+
+        ref = load_reference_losses()
+        if ref is None:
+            pytest.skip("reference losses not importable")
+        import torch
+
+        rng = np.random.default_rng(0)
+        logits = [rng.normal(size=(2, 1, 8, 8)).astype(np.float32) for _ in range(3)]
+
+        ours = PatchAdversarialLoss(criterion=criterion, reduction=reduction)
+        theirs = ref.PatchAdversarialLoss(criterion=criterion, reduction=reduction)
+
+        for target_is_real, for_disc in [(True, True), (False, True), (True, False)]:
+            # single-tensor and multi-scale list inputs
+            for inp in (logits[0], logits):
+                j = ours(
+                    [jnp.asarray(a) for a in inp] if isinstance(inp, list) else jnp.asarray(inp),
+                    target_is_real, for_disc,
+                )
+                t = theirs(
+                    [torch.from_numpy(a) for a in inp] if isinstance(inp, list) else torch.from_numpy(inp),
+                    target_is_real, for_disc,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(j), t.detach().numpy(), rtol=1e-5, atol=1e-6,
+                )
+
+    def test_no_activation_leastsq(self):
+        from .ref_loader import load_reference_losses
+
+        ref = load_reference_losses()
+        if ref is None:
+            pytest.skip("reference losses not importable")
+        import torch
+
+        x = np.random.default_rng(1).normal(size=(2, 1, 4, 4)).astype(np.float32)
+        ours = PatchAdversarialLoss(criterion="least_squares", no_activation_leastsq=True)
+        theirs = ref.PatchAdversarialLoss(criterion="least_squares", no_activation_leastsq=True)
+        np.testing.assert_allclose(
+            np.asarray(ours(jnp.asarray(x), False, True)),
+            theirs(torch.from_numpy(x), False, True).numpy(),
+            rtol=1e-6, atol=1e-7,
+        )
