@@ -149,3 +149,71 @@ class TestFID:
     def test_rejects_high_rank_inputs(self):
         with pytest.raises(ValueError):
             get_fid_score(jnp.zeros((4, 4, 4)), jnp.zeros((4, 4, 4)))
+
+
+def _load_ref_module(name, path, extra_stubs=None):
+    """File-load a reference module standalone, with minimal monai stubs."""
+    import importlib.util
+    import sys
+    import types
+
+    for mod_name, attrs in (extra_stubs or {}).items():
+        mod = sys.modules.get(mod_name)
+        if mod is None:
+            mod = types.ModuleType(mod_name)
+            sys.modules[mod_name] = mod
+        for k, v in attrs.items():
+            if not hasattr(mod, k):
+                setattr(mod, k, v)
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception:
+        pytest.skip(f"reference module {path} not importable")
+    return mod
+
+
+class TestMMDGoldenParity:
+    """Bit-level parity vs generative/metrics/mmd.py:20-81."""
+
+    def test_matches_reference(self):
+        import torch
+
+        from generativemodels_tpu.metrics import MMDMetric
+
+        ref = _load_ref_module(
+            "ref_mmd",
+            "/root/reference/generative/metrics/mmd.py",
+            extra_stubs={"monai.metrics.metric": {"Metric": object}},
+        )
+        rng = np.random.default_rng(0)
+        y = rng.normal(size=(4, 1, 8, 8)).astype(np.float32)
+        y_pred = rng.normal(size=(4, 1, 8, 8)).astype(np.float32)
+
+        ours = float(MMDMetric()(jnp.asarray(y), jnp.asarray(y_pred)))
+        theirs = float(ref.MMDMetric()(torch.from_numpy(y), torch.from_numpy(y_pred)))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+    def test_transforms_applied(self):
+        import torch
+
+        from generativemodels_tpu.metrics import MMDMetric
+
+        ref = _load_ref_module(
+            "ref_mmd",
+            "/root/reference/generative/metrics/mmd.py",
+            extra_stubs={"monai.metrics.metric": {"Metric": object}},
+        )
+        rng = np.random.default_rng(1)
+        y = rng.normal(size=(3, 1, 6, 6)).astype(np.float32)
+        y_pred = rng.normal(size=(3, 1, 6, 6)).astype(np.float32)
+        ours = float(
+            MMDMetric(y_transform=lambda t: t * 2.0)(jnp.asarray(y), jnp.asarray(y_pred))
+        )
+        theirs = float(
+            ref.MMDMetric(y_transform=lambda t: t * 2.0)(
+                torch.from_numpy(y), torch.from_numpy(y_pred)
+            )
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)

@@ -421,3 +421,34 @@ class TestAdversarialLossGoldenParity:
             theirs(torch.from_numpy(x), False, True).numpy(),
             rtol=1e-6, atol=1e-7,
         )
+
+
+class TestJukeboxGoldenParity:
+    """Parity vs generative/losses/spectral_loss.py (FFT-magnitude L2)."""
+
+    @pytest.mark.parametrize("spatial_dims,shape", [(2, (2, 1, 16, 16)), (3, (2, 1, 8, 8, 8))])
+    def test_matches_reference(self, spatial_dims, shape):
+        import torch
+
+        from .test_metrics import _load_ref_module
+
+        class _LossReduction(str, __import__("enum").Enum):
+            NONE = "none"
+            MEAN = "mean"
+            SUM = "sum"
+
+        ref = _load_ref_module(
+            "ref_spectral",
+            "/root/reference/generative/losses/spectral_loss.py",
+            extra_stubs={"monai.utils": {"LossReduction": _LossReduction}},
+        )
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=shape).astype(np.float32)
+        y = rng.normal(size=shape).astype(np.float32)
+        ours = JukeboxLoss(spatial_dims=spatial_dims)
+        theirs = ref.JukeboxLoss(spatial_dims=spatial_dims)
+        np.testing.assert_allclose(
+            float(ours(jnp.asarray(x), jnp.asarray(y))),
+            float(theirs(torch.from_numpy(x), torch.from_numpy(y))),
+            rtol=1e-4, atol=1e-5,
+        )
