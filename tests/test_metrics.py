@@ -217,3 +217,134 @@ class TestMMDGoldenParity:
             )
         )
         np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def _monai_metric_stubs():
+    """Shared monai stubs for file-loading the reference metric modules."""
+    import enum
+
+    import torch
+
+    class _MetricReduction(str, enum.Enum):
+        NONE = "none"
+        MEAN = "mean"
+        SUM = "sum"
+
+    class _StrEnum(str, enum.Enum):
+        def __str__(self):
+            return self.value
+
+    class _RegressionMetric:
+        def __init__(self, *args, **kwargs):
+            pass
+
+    def _ensure_tuple_rep(val, dim):
+        if isinstance(val, (tuple, list)):
+            return tuple(val)
+        return (val,) * dim
+
+    def _convert_data_type(data, output_type=None, dtype=None, **kwargs):
+        return torch.as_tensor(data, dtype=dtype), None, None
+
+    def _convert_to_dst_type(src, dst, **kwargs):
+        return torch.as_tensor(src, dtype=dst.dtype, device=dst.device), None, None
+
+    return {
+        "monai.metrics.metric": {"Metric": object},
+        "monai.metrics.regression": {"RegressionMetric": _RegressionMetric},
+        "monai.utils.type_conversion": {"convert_to_dst_type": _convert_to_dst_type},
+        "monai.utils": {
+            "MetricReduction": _MetricReduction,
+            "StrEnum": _StrEnum,
+            "ensure_tuple_rep": _ensure_tuple_rep,
+            "convert_data_type": _convert_data_type,
+        },
+    }
+
+
+class TestFIDGoldenParity:
+    """Parity vs generative/metrics/fid.py:20-119 (scipy sqrtm path)."""
+
+    def test_matches_reference(self, monkeypatch):
+        import torch
+
+        from generativemodels_tpu.metrics import FIDMetric
+
+        # the reference uses np.float_, removed in numpy 2.0
+        monkeypatch.setattr(np, "float_", np.float64, raising=False)
+        ref = _load_ref_module(
+            "ref_fid", "/root/reference/generative/metrics/fid.py",
+            extra_stubs=_monai_metric_stubs(),
+        )
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(64, 16)).astype(np.float32)
+        b = (rng.normal(size=(64, 16)) * 1.3 + 0.5).astype(np.float32)
+        ours = float(FIDMetric()(jnp.asarray(a), jnp.asarray(b)))
+        theirs = float(ref.FIDMetric()(torch.from_numpy(a), torch.from_numpy(b)))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+class TestSSIMGoldenParity:
+    """Parity vs generative/metrics/{ssim,ms_ssim}.py."""
+
+    def _load(self):
+        import sys
+        import types
+
+        stubs = _monai_metric_stubs()
+        ssim_mod = _load_ref_module(
+            "ref_ssim", "/root/reference/generative/metrics/ssim.py", extra_stubs=stubs
+        )
+        # pre-seed the package path ms_ssim.py imports from, without running
+        # the reference package __init__ (which needs scipy-era numpy)
+        if "generative" not in sys.modules:
+            pkg = types.ModuleType("generative")
+            pkg.__path__ = ["/root/reference/generative"]
+            sys.modules["generative"] = pkg
+        if "generative.metrics" not in sys.modules:
+            sub = types.ModuleType("generative.metrics")
+            sub.__path__ = ["/root/reference/generative/metrics"]
+            sys.modules["generative.metrics"] = sub
+        sys.modules.setdefault("generative.metrics.ssim", ssim_mod)
+        ms_mod = _load_ref_module(
+            "ref_ms_ssim", "/root/reference/generative/metrics/ms_ssim.py",
+            extra_stubs=stubs,
+        )
+        return ssim_mod, ms_mod
+
+    @pytest.mark.parametrize("spatial_dims,shape", [(2, (2, 1, 48, 48)), (3, (1, 1, 32, 32, 32))])
+    def test_ssim_matches_reference(self, spatial_dims, shape):
+        import torch
+
+        from generativemodels_tpu.metrics import SSIMMetric
+
+        ssim_mod, _ = self._load()
+        rng = np.random.default_rng(0)
+        a = rng.uniform(size=shape).astype(np.float32)
+        b = np.clip(a + rng.normal(scale=0.1, size=shape), 0, 1).astype(np.float32)
+        ours = np.asarray(SSIMMetric(spatial_dims=spatial_dims, reduction="none")(jnp.asarray(a), jnp.asarray(b)))
+        theirs = (
+            ssim_mod.SSIMMetric(spatial_dims=spatial_dims)
+            ._compute_metric(torch.from_numpy(a), torch.from_numpy(b))
+            .numpy()
+        )
+        np.testing.assert_allclose(ours.reshape(-1), theirs.reshape(-1), rtol=1e-4, atol=1e-5)
+
+    def test_ms_ssim_matches_reference(self):
+        import torch
+
+        from generativemodels_tpu.metrics import MultiScaleSSIMMetric
+
+        _, ms_mod = self._load()
+        rng = np.random.default_rng(1)
+        shape = (2, 1, 64, 64)
+        a = rng.uniform(size=shape).astype(np.float32)
+        b = np.clip(a + rng.normal(scale=0.05, size=shape), 0, 1).astype(np.float32)
+        w = (0.25, 0.25, 0.5)
+        ours = np.asarray(MultiScaleSSIMMetric(spatial_dims=2, weights=w, reduction="none")(jnp.asarray(a), jnp.asarray(b)))
+        theirs = (
+            ms_mod.MultiScaleSSIMMetric(spatial_dims=2, weights=list(w))
+            ._compute_metric(torch.from_numpy(a), torch.from_numpy(b))
+            .numpy()
+        )
+        np.testing.assert_allclose(ours.reshape(-1), theirs.reshape(-1), rtol=1e-4, atol=1e-5)
