@@ -45,6 +45,10 @@ def _activation(act):
 class _Norm(nn.Module):
     kind: str | None
     dtype: jnp.dtype | None = None
+    # cross-device stat sync for BATCH norm: the TPU-native SyncBatchNorm the
+    # reference advises for DDP (patchgan_discriminator.py:262-267). Set to the
+    # mesh data-axis name inside pmap/shard_map to sync batch statistics.
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -57,6 +61,7 @@ class _Norm(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
                 dtype=self.dtype,
+                axis_name=self.axis_name,
                 scale_init=nn.initializers.normal(0.02, dtype=jnp.float32),
             )(x)
         if kind == "INSTANCE":
@@ -89,6 +94,7 @@ class PatchDiscriminator(nn.Module):
     dropout: float = 0.0
     last_conv_kernel_size: int | None = None
     dtype: jnp.dtype | None = None
+    norm_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> list[jnp.ndarray]:
@@ -130,7 +136,7 @@ class PatchDiscriminator(nn.Module):
         for l in range(self.num_layers_d):
             stride = 1 if l == self.num_layers_d - 1 else 2
             h = conv(h, output_channels, self.kernel_size, stride, self.padding, self.bias, f"layer_{l}")
-            h = _Norm(self.norm, dtype=self.dtype, name=f"norm_{l}")(h, deterministic=deterministic)
+            h = _Norm(self.norm, dtype=self.dtype, axis_name=self.norm_axis_name, name=f"norm_{l}")(h, deterministic=deterministic)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
             h = act(h)
             outs.append(jnp.transpose(h, inv_perm))
@@ -164,6 +170,7 @@ class MultiScalePatchDiscriminator(nn.Module):
     minimum_size_im: int = 256
     last_conv_kernel_size: int = 1
     dtype: jnp.dtype | None = None
+    norm_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
@@ -209,6 +216,7 @@ class MultiScalePatchDiscriminator(nn.Module):
                 dropout=self.dropout,
                 last_conv_kernel_size=self.last_conv_kernel_size,
                 dtype=self.dtype,
+                norm_axis_name=self.norm_axis_name,
                 name=f"discriminator_{i}",
             )(inp, deterministic=deterministic)
             outputs.append(outs[-1])

@@ -166,3 +166,55 @@ class TestMultiStepTrain:
         a = jax.tree_util.tree_leaves(m_state.params)[0]
         b = jax.tree_util.tree_leaves(s_state.params)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestSyncBatchNorm:
+    """norm_axis_name='data' = TPU-native SyncBatchNorm (reference
+    patchgan_discriminator.py:262-267 advises SyncBN under DDP)."""
+
+    def test_synced_stats_match_global_batch(self):
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from generativemodels_tpu.networks.nets import PatchDiscriminator
+
+        disc_sync = PatchDiscriminator(
+            spatial_dims=2, num_channels=4, in_channels=1, num_layers_d=2,
+            norm="BATCH", norm_axis_name="data",
+        )
+        disc_local = PatchDiscriminator(
+            spatial_dims=2, num_channels=4, in_channels=1, num_layers_d=2,
+            norm="BATCH",
+        )
+        devices = jax.devices()[:8]
+        mesh = Mesh(np.array(devices), ("data",))
+        # per-device sub-batches with DIFFERENT distributions so local vs
+        # synced statistics actually diverge
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 1, 32, 32))
+        x = x * (1.0 + jnp.arange(16).reshape(-1, 1, 1, 1) / 4.0)
+
+        variables = disc_local.init(jax.random.PRNGKey(1), x[:2])
+
+        def fwd_sync(v, xs):
+            out, updated = disc_sync.apply(
+                v, xs, deterministic=False, mutable=["batch_stats"])
+            return out[-1], updated["batch_stats"]
+
+        sharded = shard_map(
+            fwd_sync, mesh=mesh,
+            in_specs=(P(), P("data")), out_specs=(P("data"), P()),
+        )
+        out_sync, stats_sync = sharded(variables, x)
+
+        # reference: run the UNSYNCED module on the full global batch
+        _, updated = disc_local.apply(
+            variables, x, deterministic=False, mutable=["batch_stats"])
+        stats_global = updated["batch_stats"]
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(stats_sync),
+            jax.tree_util.tree_leaves(stats_global),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
