@@ -392,3 +392,58 @@ class TestBrainLDMSampler:
         )
         assert img.shape == (1, 1, 16, 16, 16)
         assert bool(jnp.isfinite(img).all())
+
+
+class TestVQGANResume:
+    """Checkpoint -> restore -> continue must equal uninterrupted training
+    (exact resume, incl. the EMA codebook collection and both opt states)."""
+
+    def test_exact_resume(self):
+        import optax
+
+        from generativemodels_tpu.networks.nets import PatchDiscriminator, VQVAE
+        from generativemodels_tpu.recipes import VQGANState, make_vqgan_step
+
+        vqvae = VQVAE(
+            spatial_dims=2, in_channels=1, out_channels=1,
+            num_channels=(8, 8), num_res_layers=1, num_res_channels=(8, 8),
+            downsample_parameters=((2, 4, 1, 1), (2, 4, 1, 1)),
+            upsample_parameters=((2, 4, 1, 1, 0), (2, 4, 1, 1, 0)),
+            num_embeddings=16, embedding_dim=4,
+        )
+        disc = PatchDiscriminator(spatial_dims=2, num_channels=4, in_channels=1,
+                                  num_layers_d=2, norm="INSTANCE")
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 32, 32))
+        g_vars = vqvae.init(jax.random.PRNGKey(1), x, train=False)
+        d_vars = disc.init(jax.random.PRNGKey(2), x)
+        g_tx, d_tx = optax.adam(1e-3), optax.adam(1e-3)
+        state0 = VQGANState(
+            g_params=g_vars["params"], codebook=g_vars["codebook"],
+            g_opt_state=g_tx.init(g_vars["params"]),
+            d_params=d_vars["params"], d_opt_state=d_tx.init(d_vars["params"]),
+            step=jnp.asarray(0),
+        )
+        step = make_vqgan_step(vqvae, disc, g_tx, d_tx, adv_weight=0.01)
+        batches = [jax.random.uniform(jax.random.PRNGKey(10 + i), (2, 1, 32, 32))
+                   for i in range(3)]
+
+        # uninterrupted: 3 steps
+        s = state0
+        for b in batches:
+            s, _ = step(s, b)
+        uninterrupted = s
+
+        # interrupted: 2 steps -> checkpoint -> restore -> 1 step
+        s = state0
+        for b in batches[:2]:
+            s, _ = step(s, b)
+        with tempfile.TemporaryDirectory() as d:
+            mgr = CheckpointManager(d, max_to_keep=1)
+            assert mgr.save(int(s.step), s, force=True)
+            restored = mgr.restore(template=s)
+            mgr.close()
+        resumed, _ = step(restored, batches[2])
+
+        for a, b in zip(jax.tree_util.tree_leaves(uninterrupted),
+                        jax.tree_util.tree_leaves(resumed)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
