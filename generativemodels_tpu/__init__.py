@@ -41,3 +41,16 @@ from .networks.schedulers import (  # noqa: E402,F401
     PNDMScheduler,
     Scheduler,
 )
+from .losses import (  # noqa: E402,F401
+    AdversarialCriterions,
+    JukeboxLoss,
+    PatchAdversarialLoss,
+    PerceptualLoss,
+    feature_matching_loss,
+)
+from .metrics import (  # noqa: E402,F401
+    FIDMetric,
+    MMDMetric,
+    MultiScaleSSIMMetric,
+    SSIMMetric,
+)
