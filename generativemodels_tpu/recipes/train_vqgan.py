@@ -127,6 +127,8 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--adv-weight", type=float, default=0.01)
     parser.add_argument("--fm-weight", type=float, default=1.0)
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help="directory of .nii/.nii.gz/.npy images (native loader); synthetic blobs otherwise")
     args = parser.parse_args()
 
     vqvae = VQVAE(
@@ -162,10 +164,21 @@ def main() -> None:
     full = make_vqgan_step(vqvae, disc, g_tx, d_tx, adv_weight=args.adv_weight,
                            fm_weight=args.fm_weight)
 
+    data_iter = None
+    if args.data_dir:
+        from ..data import batched, file_dataset, prefetch_to_device
+
+        source = batched(file_dataset(args.data_dir), args.batch)
+        data_iter = prefetch_to_device(
+            (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
+             for b in source),
+            size=2,
+        )
+
     rng = jax.random.PRNGKey(42)
     for i in range(args.steps):
         rng, k = jax.random.split(rng)
-        images = synthetic_batch(k, args.batch, args.size)
+        images = next(data_iter) if data_iter is not None else synthetic_batch(k, args.batch, args.size)
         step_fn = warm if i < args.warmup_steps else full
         state, out = step_fn(state, images)
         if (i + 1) % 10 == 0:
