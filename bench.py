@@ -1,12 +1,15 @@
-"""Headline benchmark: 2D DDPM training throughput at the MedNIST tutorial scale.
+"""Headline benchmarks: 2D DDPM train throughput + 3D 128^3 DDIM sampling.
 
-Measures our jitted TPU train step (DiffusionModelUNet (128, 256, 256),
+Measures (a) our jitted TPU train step (DiffusionModelUNet (128, 256, 256),
 attention at the two coarse levels, batch 128, 64x64, T=1000 — the exact
 config of reference tutorials/generative/2d_ddpm/2d_ddpm_tutorial.py:166-177)
-and compares against a measured PyTorch-CPU reference on this host (the
-reference publishes no throughput numbers; see BASELINE.md).
+against a measured PyTorch-CPU reference on this host, and (b) 3D 128^3
+DDIM-50 sampling (the BASELINE.json north-star metric) against the documented
+A100-PyTorch analytic proxy (benchmarks/A100_PROXY.md — the reference
+publishes no throughput numbers).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
+"metrics": [both entries]}.
 """
 from __future__ import annotations
 
@@ -72,6 +75,51 @@ def measure_tpu_steps_per_sec(warmup: int = 3, steps: int = 20) -> float:
     return steps / (time.time() - t0)
 
 
+def measure_3d_ddim_samples_per_min(runs: int = 3) -> dict:
+    """3D 128^3 DDIM-50 sampling, one lax.scan program (benchmarks/bench_3d_ddim.py)."""
+    from generativemodels_tpu.inferers import DiffusionInferer
+    from generativemodels_tpu.networks.schedulers import DDIMScheduler
+
+    model = DiffusionModelUNet(
+        spatial_dims=3,
+        in_channels=1,
+        out_channels=1,
+        num_res_blocks=1,
+        num_channels=(32, 64, 128),
+        attention_levels=(False, False, True),
+        num_head_channels=64,
+        norm_num_groups=32,
+        dtype=jnp.bfloat16,
+    )
+    x = jnp.zeros((1, 1, 128, 128, 128))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+    scheduler = DDIMScheduler(num_train_timesteps=1000)
+    scheduler.set_timesteps(50)
+    inferer = DiffusionInferer(scheduler)
+    fn = lambda xx, tt, context=None: model.apply(variables, xx, tt)
+    sample = jax.jit(lambda noise, key: inferer.sample(noise, fn, key=key))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+
+    sample(noise, jax.random.PRNGKey(2)).block_until_ready()  # compile
+    t0 = time.time()
+    for i in range(runs):
+        img = sample(noise, jax.random.PRNGKey(3 + i))
+    img.block_until_ready()
+    per_sample = (time.time() - t0) / runs
+    # A100-PyTorch point proxy with documented assumptions: benchmarks/A100_PROXY.md
+    a100_proxy = 9.0
+    value = 60.0 / per_sample
+    return {
+        "metric": "3d_128_ddim50_samples_per_min_per_chip",
+        "value": round(value, 3),
+        "unit": "samples/min",
+        "vs_baseline": round(value / a100_proxy, 2),
+        "baseline": a100_proxy,
+        "baseline_context": "analytic A100 torch-eager proxy (benchmarks/A100_PROXY.md; no published reference numbers)",
+        "config": "3D UNet(32,64,128) bf16, 128^3, DDIM-50, batch 1",
+    }
+
+
 def torch_cpu_baseline() -> float:
     """Measured-once PyTorch-CPU steps/sec for the same config (cached)."""
     if os.path.exists(BASELINE_CACHE):
@@ -101,6 +149,14 @@ def main() -> None:
         "config": f"DiffusionModelUNet(128,256,256) bf16 b{BATCH} {SIZE}x{SIZE} T=1000",
         "backend": jax.default_backend(),
     }
+    try:
+        metric_3d = measure_3d_ddim_samples_per_min()
+    except Exception as exc:  # e.g. CPU-only environment: 3D 128^3 infeasible
+        metric_3d = {"metric": "3d_128_ddim50_samples_per_min_per_chip", "error": str(exc)[:200]}
+    result["metrics"] = [
+        {k: result[k] for k in ("metric", "value", "unit", "vs_baseline", "baseline", "config")},
+        metric_3d,
+    ]
     print(json.dumps(result))
 
 
