@@ -6,6 +6,10 @@ from .fast_sampling import sample_with_encoder_reuse
 from .guidance import drop_condition, sample_with_guidance
 from .inpaint import inpaint
 from .train_vqgan import VQGANState, make_vqgan_step
+from .train_controlnet import make_controlnet_train_step, synthetic_masked_batch
+from .train_spade_ldm import one_hot_labels, synthetic_seg_batch
+from .train_spade_vae import SPADEVAEState, make_spade_vae_step
+from .segmentation_ddpm import make_segmentation_train_step, segment_with_uncertainty
 from .super_resolution import compute_scale_factor, prepare_sr_batch, sample_super_resolution
 
 __all__ = [
@@ -28,4 +32,12 @@ __all__ = [
     "sample_super_resolution",
     "VQGANState",
     "make_vqgan_step",
+    "make_controlnet_train_step",
+    "synthetic_masked_batch",
+    "one_hot_labels",
+    "synthetic_seg_batch",
+    "SPADEVAEState",
+    "make_spade_vae_step",
+    "make_segmentation_train_step",
+    "segment_with_uncertainty",
 ]

@@ -1,0 +1,155 @@
+"""2D SPADE VAE-GAN training recipe (semantic image synthesis).
+
+Reference parity: tutorials/generative/2d_spade_gan/2d_spade_vae.py — a
+SPADENet (is_vae=True) trained against a MultiScalePatchDiscriminator that
+sees image+label concatenations (:259-282), with hinge adversarial loss
+(reduction="sum", :231), Pix2PixHD feature matching over the per-scale
+discriminator intermediates (:199-212), and the KLD term returned by the
+network (:259, lambda_kld :61).
+
+TPU-first: one fused jitted G+D step; the reference's separate G/D backward
+passes become a single XLA program with two optimizer updates.
+
+Usage: python -m generativemodels_tpu.recipes.train_spade_vae --steps 30
+"""
+from __future__ import annotations
+
+import argparse
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import PatchAdversarialLoss, feature_matching_loss
+from ..networks.nets import MultiScalePatchDiscriminator, SPADENet
+from .train_spade_ldm import synthetic_seg_batch
+
+
+class SPADEVAEState(NamedTuple):
+    g_params: dict
+    g_opt_state: optax.OptState
+    d_params: dict
+    d_opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_spade_vae_step(
+    net: SPADENet,
+    disc: MultiScalePatchDiscriminator,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    kld_weight: float = 1e-5,
+    fm_weight: float = 10.0,
+):
+    """Fused jitted SPADE VAE-GAN step over (images, one-hot seg) batches."""
+    adv = PatchAdversarialLoss(criterion="hinge", reduction="sum")
+
+    @jax.jit
+    def step(state: SPADEVAEState, images: jnp.ndarray, seg: jnp.ndarray, rng):
+        def d_apply(d_params, img):
+            # the discriminator judges image+label pairs (reference :260-262)
+            return disc.apply({"params": d_params}, jnp.concatenate([img, seg], axis=1))
+
+        real_logits, real_feats = d_apply(state.d_params, images)
+
+        def g_loss(g_params):
+            fake, kld = net.apply({"params": g_params}, seg, images, key=rng)
+            fake_logits, fake_feats = d_apply(state.d_params, fake)
+            g_adv = adv(fake_logits, target_is_real=True, for_discriminator=False)
+            fm = sum(
+                feature_matching_loss(rf, ff)
+                for rf, ff in zip(real_feats, fake_feats)
+            ) / len(real_feats)
+            recon = jnp.mean(jnp.abs(fake - images))
+            total = g_adv + fm_weight * fm + kld_weight * kld + recon
+            return total, {"fake": fake, "kld": kld, "fm": fm, "g_adv": g_adv}
+
+        (g_total, aux), g_grads = jax.value_and_grad(g_loss, has_aux=True)(
+            state.g_params
+        )
+        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        fake = jax.lax.stop_gradient(aux["fake"])
+
+        def d_loss(d_params):
+            fake_logits, _ = d_apply(d_params, fake)
+            real_logits_d, _ = d_apply(d_params, images)
+            return 0.5 * (
+                adv(real_logits_d, True, True) + adv(fake_logits, False, True)
+            )
+
+        d_total, d_grads = jax.value_and_grad(d_loss)(state.d_params)
+        d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        new_state = SPADEVAEState(
+            g_params=g_params, g_opt_state=g_opt_state,
+            d_params=d_params, d_opt_state=d_opt_state, step=state.step + 1,
+        )
+        out = {
+            "g_total": g_total, "d_total": d_total,
+            "kld": aux["kld"], "feature_matching_loss": aux["fm"],
+            "generator_loss": aux["g_adv"],
+        }
+        return new_state, out
+
+    return step
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--size", type=int, default=64)
+    parser.add_argument("--label-nc", type=int, default=3)
+    parser.add_argument("--z-dim", type=int, default=32)
+    parser.add_argument("--sample", action="store_true")
+    args = parser.parse_args()
+
+    net = SPADENet(
+        spatial_dims=2, in_channels=1, out_channels=1, label_nc=args.label_nc,
+        input_shape=(args.size, args.size), num_channels=(16, 32, 64),
+        z_dim=args.z_dim, is_vae=True,
+    )
+    disc = MultiScalePatchDiscriminator(
+        num_d=2, num_layers_d=3, spatial_dims=2, num_channels=16,
+        in_channels=1 + args.label_nc, norm="INSTANCE",
+        minimum_size_im=args.size, pooling_method="AVG",
+    )
+    x0 = jnp.zeros((args.batch, 1, args.size, args.size))
+    seg0 = jnp.zeros((args.batch, args.label_nc, args.size, args.size))
+    g_vars = jax.jit(net.init)(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, seg0, x0
+    )
+    d_vars = jax.jit(disc.init)(
+        jax.random.PRNGKey(2), jnp.concatenate([x0, seg0], axis=1)
+    )
+    g_tx, d_tx = optax.adam(2e-4), optax.adam(4e-4)
+    state = SPADEVAEState(
+        g_params=g_vars["params"], g_opt_state=g_tx.init(g_vars["params"]),
+        d_params=d_vars["params"], d_opt_state=d_tx.init(d_vars["params"]),
+        step=jnp.asarray(0),
+    )
+    step = make_spade_vae_step(net, disc, g_tx, d_tx)
+
+    rng = jax.random.PRNGKey(42)
+    for i in range(args.steps):
+        rng, k_data, k_step = jax.random.split(rng, 3)
+        images, seg = synthetic_seg_batch(k_data, args.batch, args.size, args.label_nc)
+        state, out = step(state, images, seg, k_step)
+        if (i + 1) % 10 == 0:
+            print(f"step {i + 1} g={float(out['g_total']):.4f} d={float(out['d_total']):.4f} "
+                  f"kld={float(out['kld']):.4f}")
+
+    if args.sample:
+        rng, k_data, k_s = jax.random.split(rng, 3)
+        images, seg = synthetic_seg_batch(k_data, 2, args.size, args.label_nc)
+        out = net.apply({"params": state.g_params}, seg, images, key=k_s)
+        print(f"synthesis: shape={out[0].shape} std={float(out[0].std()):.3f}")
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

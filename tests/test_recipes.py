@@ -1,0 +1,220 @@
+"""Tests for the ControlNet / SPADE / image-to-image training recipes.
+
+Mirrors the reference tutorial mechanics these recipes rebuild:
+tutorials/generative/2d_controlnet/2d_controlnet.py (frozen UNet + trained
+CN), 2d_spade_ldm/2d_spade_ldm.py (SPADE AEKL + SPADE latent UNet),
+2d_spade_gan/2d_spade_vae.py (SPADENet VAE-GAN), and
+image_to_image_translation/tutorial_segmentation_with_ddpm.py (concat-
+conditioned mask diffusion + sampling ensemble).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from generativemodels_tpu.networks.nets import (
+    ControlNet,
+    DiffusionModelUNet,
+    MultiScalePatchDiscriminator,
+    SPADENet,
+    copy_weights_to_controlnet,
+)
+from generativemodels_tpu.networks.schedulers import DDPMScheduler
+from generativemodels_tpu.parallel import init_train_state
+from generativemodels_tpu.recipes import (
+    SPADEVAEState,
+    make_controlnet_train_step,
+    make_segmentation_train_step,
+    make_spade_vae_step,
+    one_hot_labels,
+    segment_with_uncertainty,
+    synthetic_masked_batch,
+    synthetic_seg_batch,
+)
+
+UNET_KWARGS = dict(
+    spatial_dims=2, in_channels=1, num_res_blocks=1, num_channels=(8, 8),
+    attention_levels=(False, False), norm_num_groups=8, num_head_channels=8,
+)
+
+
+class TestControlNetRecipe:
+    def test_masked_batch(self):
+        images, masks = synthetic_masked_batch(jax.random.PRNGKey(0), 2, 16)
+        assert images.shape == masks.shape == (2, 1, 16, 16)
+        assert set(np.unique(np.asarray(masks))) <= {0.0, 1.0}
+
+    def test_train_step_updates_cn_only(self):
+        model = DiffusionModelUNet(out_channels=1, **UNET_KWARGS)
+        cn = ControlNet(conditioning_embedding_num_channels=(8,), **UNET_KWARGS)
+        x0 = jnp.zeros((2, 1, 16, 16))
+        t0 = jnp.zeros((2,), jnp.int32)
+        unet_params = model.init(jax.random.PRNGKey(0), x0, t0)["params"]
+        cn_params = copy_weights_to_controlnet(
+            cn.init(jax.random.PRNGKey(1), x0, t0, x0)["params"], unet_params,
+            verbose=False,
+        )
+        # seeded subtrees match the UNet exactly (reference load_state_dict :136)
+        np.testing.assert_array_equal(
+            cn_params["conv_in"]["Conv_0"]["kernel"],
+            unet_params["conv_in"]["Conv_0"]["kernel"],
+        )
+
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        tx = optax.adam(1e-3)
+
+        # brief UNet pretrain: a fresh UNet's zero-init out_conv blocks all
+        # gradient, exactly like the reference (the tutorial trains the DM
+        # first, 2d_controlnet.py:215-290)
+        from generativemodels_tpu.parallel import make_diffusion_train_step
+
+        pre_tx = optax.adam(1e-2)
+        pre_step = make_diffusion_train_step(
+            lambda p, x, t: model.apply({"params": p}, x, t), scheduler, pre_tx,
+            donate=False,
+        )
+        pre_state = init_train_state(unet_params, pre_tx)
+        images, masks = synthetic_masked_batch(jax.random.PRNGKey(2), 2, 16)
+        for i in range(2):
+            pre_state, _ = pre_step(pre_state, images, jax.random.PRNGKey(10 + i))
+        unet_params = pre_state.params
+
+        def frozen_unet_apply(noisy, t, down_res, mid_res):
+            return model.apply(
+                {"params": unet_params}, noisy, t,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res,
+            )
+
+        def cn_apply(p, noisy, t, masks):
+            return cn.apply({"params": p}, noisy, t, controlnet_cond=masks)
+
+        step = make_controlnet_train_step(frozen_unet_apply, cn_apply, scheduler, tx)
+        state = init_train_state(cn_params, tx)
+        losses = []
+        for i in range(3):
+            state, loss = step(state, images, masks, jax.random.PRNGKey(3 + i))
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        # the ControlNet actually trains
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params, cn_params
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+class TestSPADERecipes:
+    def test_one_hot_labels(self):
+        labels = jnp.array([[[[0, 1], [2, 1]]]])  # (1, 1, 2, 2)
+        onehot = one_hot_labels(labels, 3)
+        assert onehot.shape == (1, 3, 2, 2)
+        np.testing.assert_array_equal(onehot.sum(axis=1), np.ones((1, 2, 2)))
+        assert float(onehot[0, 2, 1, 0]) == 1.0
+
+    def test_synthetic_seg_batch(self):
+        images, seg = synthetic_seg_batch(jax.random.PRNGKey(0), 2, 16, 3)
+        assert images.shape == (2, 1, 16, 16)
+        assert seg.shape == (2, 3, 16, 16)
+        np.testing.assert_allclose(np.asarray(seg.sum(axis=1)), 1.0)
+
+    def test_spade_vae_step(self):
+        net = SPADENet(
+            spatial_dims=2, in_channels=1, out_channels=1, label_nc=3,
+            input_shape=(16, 16), num_channels=(4, 8), z_dim=8, is_vae=True,
+        )
+        disc = MultiScalePatchDiscriminator(
+            num_d=2, num_layers_d=2, spatial_dims=2, num_channels=4,
+            in_channels=4, norm="INSTANCE", minimum_size_im=16,
+            pooling_method="AVG",
+        )
+        x0 = jnp.zeros((2, 1, 16, 16))
+        seg0 = jnp.zeros((2, 3, 16, 16))
+        g_vars = net.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+            seg0, x0,
+        )
+        d_vars = disc.init(jax.random.PRNGKey(2), jnp.concatenate([x0, seg0], 1))
+        g_tx, d_tx = optax.adam(1e-3), optax.adam(1e-3)
+        state = SPADEVAEState(
+            g_params=g_vars["params"], g_opt_state=g_tx.init(g_vars["params"]),
+            d_params=d_vars["params"], d_opt_state=d_tx.init(d_vars["params"]),
+            step=jnp.asarray(0),
+        )
+        step = make_spade_vae_step(net, disc, g_tx, d_tx)
+        images, seg = synthetic_seg_batch(jax.random.PRNGKey(3), 2, 16, 3)
+        state, out = step(state, images, seg, jax.random.PRNGKey(4))
+        for k in ("g_total", "d_total", "kld", "feature_matching_loss"):
+            assert np.isfinite(float(out[k])), k
+        assert int(state.step) == 1
+
+
+class TestSegmentationDDPM:
+    def test_train_and_ensemble(self):
+        model = DiffusionModelUNet(
+            spatial_dims=2, in_channels=2, out_channels=1, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, False),
+            norm_num_groups=8, num_head_channels=8,
+        )
+        scheduler = DDPMScheduler(num_train_timesteps=10)
+        tx = optax.adam(1e-3)
+        x0 = jnp.zeros((2, 2, 16, 16))
+        variables = model.init(
+            jax.random.PRNGKey(0), x0, jnp.zeros((2,), jnp.int32)
+        )
+        apply = lambda p, x, t: model.apply({"params": p}, x, t)
+        step = make_segmentation_train_step(apply, scheduler, tx)
+        state = init_train_state(variables["params"], tx)
+        images, masks = synthetic_masked_batch(jax.random.PRNGKey(1), 2, 16)
+        state, loss = step(state, images, masks, jax.random.PRNGKey(2))
+        assert np.isfinite(float(loss))
+
+        fn = lambda x, t, context=None: model.apply({"params": state.params}, x, t)
+        mean, std = segment_with_uncertainty(
+            images, fn, scheduler, jax.random.PRNGKey(3), ensemble=2
+        )
+        assert mean.shape == std.shape == (2, 1, 16, 16)
+        assert bool(jnp.isfinite(mean).all()) and bool(jnp.isfinite(std).all())
+        assert float(std.mean()) > 0  # distinct ensemble members
+
+
+@pytest.mark.slow
+class TestRecipeMains:
+    """End-to-end recipe smoke runs at tiny scale (CPU)."""
+
+    def _run(self, module, argv):
+        import sys
+        from unittest import mock
+
+        with mock.patch.object(sys, "argv", ["prog"] + argv):
+            module.main()
+
+    def test_train_controlnet_main(self):
+        from generativemodels_tpu.recipes import train_controlnet
+
+        self._run(train_controlnet, [
+            "--pretrain-steps", "2", "--steps", "2", "--batch", "2",
+            "--size", "16", "--channels", "8", "8", "--norm-groups", "8",
+        ])
+
+    def test_train_spade_ldm_main(self):
+        from generativemodels_tpu.recipes import train_spade_ldm
+
+        self._run(train_spade_ldm, [
+            "--stage1-steps", "2", "--stage2-steps", "2", "--warmup-steps", "1",
+            "--batch", "2", "--size", "16", "--sample",
+        ])
+
+    def test_train_spade_vae_main(self):
+        from generativemodels_tpu.recipes import train_spade_vae
+
+        self._run(train_spade_vae, [
+            "--steps", "2", "--batch", "2", "--size", "16",
+        ])
+
+    def test_segmentation_ddpm_main(self):
+        from generativemodels_tpu.recipes import segmentation_ddpm
+
+        self._run(segmentation_ddpm, [
+            "--steps", "2", "--batch", "2", "--size", "16", "--ensemble", "2",
+        ])
