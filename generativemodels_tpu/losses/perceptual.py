@@ -141,8 +141,12 @@ class PerceptualLoss:
         is_fake_3d: use the 2.5D slicing approach for 3D inputs.
         fake_3d_ratio: fraction of slices per axis used in the 2.5D pass.
         params / batch_stats / lin_weights: converted pretrained weights
-            (see networks.backbones.convert_torch_state_dict); random init
-            when omitted.
+            (see networks.pretrained.load_pretrained_perceptual); random
+            init when omitted.
+        pretrained_path: torch checkpoint (.pt/.pth or .npz) for the
+            backbone — converted on load via the backbone's NAME_MAP.
+        lin_path: lpips `lin` head checkpoint for the learned per-layer
+            channel weights (LPIPS backends only).
         key: PRNG key for backbone init when no params are given.
     """
 
@@ -156,6 +160,8 @@ class PerceptualLoss:
         params=None,
         batch_stats=None,
         lin_weights=None,
+        pretrained_path: str | None = None,
+        lin_path: str | None = None,
         key=None,
     ):
         if spatial_dims not in (2, 3):
@@ -169,6 +175,16 @@ class PerceptualLoss:
         self.spatial_dims = spatial_dims
         self.is_fake_3d = is_fake_3d
         self.fake_3d_ratio = fake_3d_ratio
+
+        if pretrained_path is not None:
+            from ..networks.pretrained import load_pretrained_perceptual
+
+            loaded = load_pretrained_perceptual(
+                network_type, pretrained_path, lin_path=lin_path
+            )
+            params = loaded["params"]
+            batch_stats = loaded["batch_stats"]
+            lin_weights = loaded["lin_weights"] or lin_weights
 
         if spatial_dims == 3 and not is_fake_3d:
             kind = "medicalnet_resnet50" if "resnet50" in network_type else "medicalnet_resnet10"

@@ -18,21 +18,23 @@ import numpy as np
 from jax import lax
 
 
-def _max_pool(x, window, stride, ceil_mode=False):
-    pad = "VALID"
-    if ceil_mode:
-        # torch ceil_mode: pad high edge so the last partial window counts
+def _max_pool(x, window, stride, ceil_mode=False, padding=0):
+    if padding or ceil_mode:
         pads = [(0, 0)]
         for s in x.shape[1:-1]:
-            out = -(-(s - window) // stride) + 1
-            needed = max(0, (out - 1) * stride + window - s)
-            pads.append((0, needed))
+            lo = hi = padding
+            if ceil_mode:
+                # torch ceil_mode: pad high edge so the last partial window counts
+                padded = s + 2 * padding
+                out = -(-(padded - window) // stride) + 1
+                hi += max(0, (out - 1) * stride + window - padded)
+            pads.append((lo, hi))
         pads.append((0, 0))
         x = jnp.pad(x, pads, constant_values=-jnp.inf)
     n = x.ndim - 2
     dims = (1,) + (window,) * n + (1,)
     strides = (1,) + (stride,) * n + (1,)
-    return lax.reduce_window(x, -jnp.inf, lax.max, dims, strides, pad)
+    return lax.reduce_window(x, -jnp.inf, lax.max, dims, strides, "VALID")
 
 
 class AlexNetFeatures(nn.Module):
@@ -115,7 +117,6 @@ class SqueezeNetFeatures(nn.Module):
         taps.append(h)
         h = _max_pool(h, 3, 2, ceil_mode=True)
         h = _Fire(16, 64, dtype=self.dtype, name="fire2")(h)
-        taps.append(h)
         h = _Fire(16, 64, dtype=self.dtype, name="fire3")(h)
         taps.append(h)
         h = _max_pool(h, 3, 2, ceil_mode=True)
@@ -128,6 +129,7 @@ class SqueezeNetFeatures(nn.Module):
         h = _Fire(48, 192, dtype=self.dtype, name="fire7")(h)
         taps.append(h)
         h = _Fire(64, 256, dtype=self.dtype, name="fire8")(h)
+        taps.append(h)
         h = _Fire(64, 256, dtype=self.dtype, name="fire9")(h)
         taps.append(h)
         return taps
@@ -217,7 +219,7 @@ class ResNetFeatures(nn.Module):
             dtype=self.dtype, name="bn1",
         )(h)
         h = nn.relu(h)
-        h = _max_pool(h, 3, 2, ceil_mode=False) if n == 2 else _max_pool(h, 3, 2)
+        h = _max_pool(h, 3, 2, padding=1)  # torch MaxPool(3, 2, padding=1)
 
         block_cls = _Bottleneck if self.block == "bottleneck" else _BasicBlock
         features = 64
