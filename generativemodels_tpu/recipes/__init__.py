@@ -2,7 +2,6 @@ from .diffusion_autoencoder import SemanticEncoder, diffusion_autoencoder_loss, 
 from .brain_ldm_sampler import make_conditioning, sample_brain_ldm
 from .anomaly import anomaly_map, ddim_decode, ddim_encode
 from .classifier_guidance import classifier_grad, sample_with_classifier_guidance
-from .fast_sampling import sample_with_encoder_reuse
 from .guidance import drop_condition, sample_with_guidance
 from .inpaint import inpaint
 from .train_vqgan import VQGANState, make_vqgan_step
@@ -10,6 +9,7 @@ from .train_controlnet import make_controlnet_train_step, synthetic_masked_batch
 from .train_spade_ldm import one_hot_labels, synthetic_seg_batch
 from .train_spade_vae import SPADEVAEState, make_spade_vae_step
 from .segmentation_ddpm import make_segmentation_train_step, segment_with_uncertainty
+from .eval_quality import evaluate_quality, make_feature_extractor, ms_ssim_weights_for
 from .super_resolution import compute_scale_factor, prepare_sr_batch, sample_super_resolution
 
 __all__ = [
@@ -23,7 +23,6 @@ __all__ = [
     "ddim_encode",
     "classifier_grad",
     "sample_with_classifier_guidance",
-    "sample_with_encoder_reuse",
     "drop_condition",
     "sample_with_guidance",
     "inpaint",
@@ -40,4 +39,7 @@ __all__ = [
     "make_spade_vae_step",
     "make_segmentation_train_step",
     "segment_with_uncertainty",
+    "evaluate_quality",
+    "make_feature_extractor",
+    "ms_ssim_weights_for",
 ]

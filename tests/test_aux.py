@@ -282,41 +282,21 @@ class TestExport:
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-6)
 
 
-class TestEncoderReuseSampling:
-    def _setup(self):
-        from generativemodels_tpu.networks.schedulers import DDIMScheduler
-
+class TestDownPathCache:
+    def test_cached_down_matches_full_forward(self):
+        """return_down / cached_down hooks: a cached forward at the SAME
+        timestep is exact (the feature-caching contract)."""
         model = DiffusionModelUNet(
             spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
             num_channels=(8, 8), attention_levels=(False, True), norm_num_groups=8,
             num_head_channels=8,
         )
-        x = jnp.zeros((1, 1, 16, 16))
-        variables = model.init(jax.random.PRNGKey(0), x, jnp.array([0]))
-        fn = lambda x, t, context=None, **kw: model.apply(variables, x, t, context=context, **kw)
-        scheduler = DDIMScheduler(num_train_timesteps=100, clip_sample=False)
-        scheduler.set_timesteps(10)
-        return fn, scheduler
-
-    def test_refresh_every_1_matches_plain_sampler(self):
-        from generativemodels_tpu.inferers import DiffusionInferer
-        from generativemodels_tpu.recipes import sample_with_encoder_reuse
-
-        fn, scheduler = self._setup()
-        noise = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 16, 16))
-        exact = sample_with_encoder_reuse(fn, scheduler, noise, refresh_every=1)
-        plain = DiffusionInferer(scheduler).sample(noise, fn)
-        np.testing.assert_allclose(np.asarray(exact), np.asarray(plain), rtol=1e-4, atol=1e-5)
-
-    def test_cached_sampling_runs_and_is_close(self):
-        from generativemodels_tpu.recipes import sample_with_encoder_reuse
-
-        fn, scheduler = self._setup()
-        noise = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 16, 16))
-        exact = sample_with_encoder_reuse(fn, scheduler, noise, refresh_every=1)
-        fast = sample_with_encoder_reuse(fn, scheduler, noise, refresh_every=3)
-        assert fast.shape == exact.shape
-        assert bool(jnp.isfinite(fast).all())
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 16, 16))
+        t = jnp.array([5])
+        variables = model.init(jax.random.PRNGKey(0), x, t)
+        full, cache = model.apply(variables, x, t, return_down=True)
+        cached = model.apply(variables, x, t, cached_down=cache)
+        np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=1e-6)
 
 
 class TestClassifierGuidance:

@@ -178,6 +178,29 @@ class TestSegmentationDDPM:
         assert float(std.mean()) > 0  # distinct ensemble members
 
 
+class TestEvalQuality:
+    def test_ms_ssim_weights_for(self):
+        from generativemodels_tpu.recipes import ms_ssim_weights_for
+
+        assert len(ms_ssim_weights_for(64)) == 3  # 64 -> 32 -> 16 (>= 11)
+        assert len(ms_ssim_weights_for(256)) == 5
+        assert sum(ms_ssim_weights_for(64)) == pytest.approx(1.0)
+
+    def test_evaluate_quality_on_synthetic_sets(self):
+        from generativemodels_tpu.recipes import evaluate_quality
+        from generativemodels_tpu.recipes.train_2d_ddpm import synthetic_batch
+
+        real = synthetic_batch(jax.random.PRNGKey(0), 8, 32)
+        close = real + 0.01 * jax.random.normal(jax.random.PRNGKey(1), real.shape)
+        far = jax.random.uniform(jax.random.PRNGKey(2), real.shape)
+        m_close = evaluate_quality(real, close)
+        m_far = evaluate_quality(real, far)
+        assert np.isfinite(m_close["fid"]) and np.isfinite(m_far["fid"])
+        # the metric must order near-identical above noise
+        assert m_close["fid"] < m_far["fid"]
+        assert 0 <= m_close["ms_ssim_diversity"] <= 1
+
+
 @pytest.mark.slow
 class TestRecipeMains:
     """End-to-end recipe smoke runs at tiny scale (CPU)."""
