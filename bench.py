@@ -65,13 +65,13 @@ def measure_tpu_steps_per_sec(warmup: int = 3, steps: int = 20) -> float:
     for _ in range(warmup):
         rng, sub = jax.random.split(rng)
         state, loss = step(state, images, sub)
-    loss.block_until_ready()
+    float(loss)  # host fetch: block_until_ready does not sync through the tunnel
 
     t0 = time.time()
     for _ in range(steps):
         rng, sub = jax.random.split(rng)
         state, loss = step(state, images, sub)
-    loss.block_until_ready()
+    float(loss)
     return steps / (time.time() - t0)
 
 
@@ -100,11 +100,11 @@ def measure_3d_ddim_samples_per_min(runs: int = 3) -> dict:
     sample = jax.jit(lambda noise, key: inferer.sample(noise, fn, key=key))
     noise = jax.random.normal(jax.random.PRNGKey(1), x.shape)
 
-    sample(noise, jax.random.PRNGKey(2)).block_until_ready()  # compile
+    float(jnp.sum(sample(noise, jax.random.PRNGKey(2))))  # compile + true sync
     t0 = time.time()
     for i in range(runs):
         img = sample(noise, jax.random.PRNGKey(3 + i))
-    img.block_until_ready()
+    float(jnp.sum(img))  # host fetch: block_until_ready does not sync through the tunnel
     per_sample = (time.time() - t0) / runs
     # A100-PyTorch point proxy with documented assumptions: benchmarks/A100_PROXY.md
     a100_proxy = 9.0

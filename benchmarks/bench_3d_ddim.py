@@ -56,14 +56,14 @@ def main() -> None:
 
     t0 = time.time()
     img = sample(noise, jax.random.PRNGKey(2))
-    img.block_until_ready()
+    float(jnp.sum(img))  # host fetch: block_until_ready does not sync through the tunnel
     compile_s = time.time() - t0
 
     runs = 3
     t0 = time.time()
     for i in range(runs):
         img = sample(noise, jax.random.PRNGKey(3 + i))
-    img.block_until_ready()
+    float(jnp.sum(img))
     per_sample = (time.time() - t0) / runs
     samples_per_min = 60.0 / per_sample
 

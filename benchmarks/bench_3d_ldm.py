@@ -33,12 +33,12 @@ inf = LatentDiffusionInferer(sched, scale_factor=0.3)
 
 sample = jax.jit(lambda noise, key: inf.sample(noise, bound, fn, key=key))
 noise = jax.random.normal(jax.random.PRNGKey(4), z.shape)
-t0 = time.time(); img = sample(noise, jax.random.PRNGKey(5)); img.block_until_ready()
+t0 = time.time(); img = sample(noise, jax.random.PRNGKey(5)); float(jnp.sum(img))
 compile_s = time.time() - t0
 t0 = time.time()
 for i in range(3):
     img = sample(noise, jax.random.PRNGKey(6 + i))
-img.block_until_ready()
+float(jnp.sum(img))  # host fetch: block_until_ready does not sync through the tunnel
 per = (time.time() - t0) / 3
 print(json.dumps({"metric": "3d_128_LDM_ddim50_samples_per_min", "value": round(60/per, 2),
                   "seconds_per_sample": round(per, 2), "compile_s": round(compile_s, 1),

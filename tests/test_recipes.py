@@ -241,3 +241,44 @@ class TestRecipeMains:
         self._run(segmentation_ddpm, [
             "--steps", "2", "--batch", "2", "--size", "16", "--ensemble", "2",
         ])
+
+    def test_eval_quality_main(self, tmp_path):
+        import json
+
+        from generativemodels_tpu.recipes import eval_quality
+
+        out = tmp_path / "quality.json"
+        self._run(eval_quality, [
+            "--train-steps", "2", "--batch", "4", "--size", "32",
+            "--channels", "8", "8", "--norm-groups", "8",
+            "--sample-count", "4", "--sample-batch", "4", "--ddim-steps", "2",
+            "--out", str(out),
+        ])
+        result = json.loads(out.read_text())
+        assert np.isfinite(result["fid"])
+        assert -1.0 <= result["ms_ssim_diversity"] <= 1.0
+        assert result["sample_count"] == 4
+
+
+class TestEvalQualityUnits:
+    def test_ms_ssim_weights_truncation(self):
+        from generativemodels_tpu.recipes.eval_quality import ms_ssim_weights_for
+
+        # 32px: 32 -> 16 (>=11) -> 8 (<11): 2 scales
+        w32 = ms_ssim_weights_for(32)
+        assert len(w32) == 2 and abs(sum(w32) - 1.0) < 1e-6
+        # 64px: 64 -> 32 -> 16 -> 8: 3 scales
+        assert len(ms_ssim_weights_for(64)) == 3
+        # 256px+: all 5 Wang scales
+        assert len(ms_ssim_weights_for(512)) == 5
+
+    def test_evaluate_quality_separates_distributions(self):
+        """FID(real, shifted) must exceed FID(real, real-like)."""
+        from generativemodels_tpu.recipes.eval_quality import evaluate_quality
+
+        key = jax.random.PRNGKey(0)
+        a = jax.random.uniform(key, (8, 1, 32, 32))
+        b = jax.random.uniform(jax.random.PRNGKey(1), (8, 1, 32, 32))
+        near = evaluate_quality(a, b)
+        far = evaluate_quality(a, jnp.clip(b + 0.7, 0, 1))
+        assert far["fid"] > near["fid"]
