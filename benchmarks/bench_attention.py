@@ -37,31 +37,33 @@ SHAPES = [
 ]
 
 
-N_SHORT, N_LONG = 8, 40
+N_SHORT, N_LONG = 8, 72
 
 
-def _timeit(make_scanned, trials: int = 3) -> float:
+def _timeit(make_scanned, trials: int = 5) -> float:
     """Per-call ms from the difference of two on-device scan lengths.
 
     Through the axon tunnel, block_until_ready returns before remote
     execution completes and per-call host dispatch jitter swamps small
     kernels; a lax.scan keeps the serial chain on-device in one dispatch,
     and a host scalar fetch truly synchronises. The long/short difference
-    cancels dispatch + fetch RTT.
+    cancels dispatch + fetch RTT; median over trials rejects the tunnel's
+    multi-ms latency spikes (min would bias a noisy difference low).
     """
     short = make_scanned(N_SHORT)
     long = make_scanned(N_LONG)
     float(short())  # compile+warm
     float(long())
-    best = float("inf")
+    diffs = []
     for _ in range(trials):
         t0 = time.perf_counter()
         float(short())
         t1 = time.perf_counter()
         float(long())
         t2 = time.perf_counter()
-        best = min(best, max((t2 - t1) - (t1 - t0), 1e-9) / (N_LONG - N_SHORT) * 1e3)
-    return best
+        diffs.append(max((t2 - t1) - (t1 - t0), 1e-9) / (N_LONG - N_SHORT) * 1e3)
+    diffs.sort()
+    return diffs[len(diffs) // 2]
 
 
 def main() -> None:

@@ -14,13 +14,13 @@ import jax.numpy as jnp
 from .flash_attention import flash_attention
 
 # sequence length below which the fused-XLA einsum path is always used.
-# On-chip profiling (tools/xplane_summary.py) showed the Pallas kernel's
-# per-block DMA staging makes it slightly slower than XLA's fused attention
-# until sequences are long enough that the S^2 score materialisation and
-# HBM traffic dominate; measured on v5e: einsum still ~5% faster at 4096
-# (3D 128^3 DDIM: 6.58 vs 6.25 samples/min). Above ~8k flash is the only
-# option (3D volumes reach 32k+ where einsum cannot run at all).
-_FLASH_MIN_SEQ = 8192
+# Round-2 kernel (bf16 MXU matmuls, static mask elision, block_k=1024)
+# beats XLA fused attention from seq 1024 up on v5e
+# (benchmarks/bench_attention.py: fwd 1.23x / fwd+bwd 1.38x at 1024 d=256
+# bh=128; fwd 1.53x / fwd+bwd 1.91x at 4096 d=64). At 256 the einsum path
+# still wins (tile-grid overhead dominates); above ~8k einsum cannot run
+# at all (S^2 scores exceed HBM at 3D volumes' 32k+).
+_FLASH_MIN_SEQ = 1024
 
 
 def _on_tpu() -> bool:

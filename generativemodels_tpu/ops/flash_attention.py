@@ -3,8 +3,7 @@
 This is the TPU-native replacement for the reference's optional xformers
 `memory_efficient_attention` path (generative/networks/nets/
 diffusion_model_unet.py:128-135, generative/networks/blocks/
-selfattention.py:113-124). Self/cross and causal attention are supported;
-accumulation is float32 regardless of input dtype.
+selfattention.py:113-124). Self/cross and causal attention are supported.
 
 Layout: (batch*heads, seq, head_dim). K/V stream through the grid's
 innermost dimension in `block_k` tiles — VMEM holds only one q tile, one
@@ -12,6 +11,20 @@ k/v tile and the online-softmax accumulators, so sequence length is
 bounded by HBM, not VMEM (needed for 3D volumes where flattened spatial
 sequences reach 32k+). Backward recomputes probabilities blockwise in two
 kernels (dq over k-tiles; dk/dv over q-tiles).
+
+Performance notes (v5e, tools/xplane_summary.py + benchmarks/
+bench_attention.py):
+  - MXU matmuls run in the *input* dtype (bf16 for the flagship configs)
+    with float32 accumulation via preferred_element_type; the softmax
+    state (m, l, acc) stays float32. Upcasting the operands to f32 (the
+    round-1 design) cut MXU throughput ~4x and was the reason the kernel
+    lost to XLA fused attention below seq 8192.
+  - Masking is elided statically: non-causal tiles with an aligned kv
+    length skip it entirely; causal interior tiles skip the triangle.
+  - Block sizes from an on-chip sweep (benchmarks/sweep_flash_blocks.py):
+    block_q=256 / block_k=1024 wins at the flagship shapes (bench re-run:
+    seq 1024 d=256 fwd 1.10 ms vs 1.35 ms XLA fused; seq 4096 d=64
+    0.37 vs 0.57; fwd+bwd 2.33 vs 3.21 and 0.70 vs 1.34).
 """
 from __future__ import annotations
 
@@ -29,13 +42,52 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _mask(qi, kj, block_q, block_k, kv_len, causal):
+def _mm_dtype(dtype) -> jnp.dtype:
+    """Matmul operand dtype: keep bf16 on the MXU, everything else f32."""
+    return jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+
+
+def _build_mask(qi, kj, block_q, block_k, kv_len, causal, *, interior):
+    """Boolean tile mask, or None if the tile is statically fully live.
+
+    `interior` is a *static* hint that this call sites only runs for tiles
+    strictly below the causal diagonal (so only kv-bound masking applies).
+    """
+    need_kv_bound = kv_len % block_k != 0
+    need_tri = causal and not interior
+    if not (need_kv_bound or need_tri):
+        return None
     col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    mask = col < kv_len
-    if causal:
+    mask = None
+    if need_kv_bound:
+        mask = col < kv_len
+    if need_tri:
         row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        mask = mask & (col <= row)
+        tri = col <= row
+        mask = tri if mask is None else (mask & tri)
     return mask
+
+
+def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
+              block_q, block_k, interior):
+    """One online-softmax update for a (block_q, block_k) score tile."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    mask = _build_mask(qi, kj, block_q, block_k, kv_len, causal, interior=interior)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = m_new
 
 
 def _fwd_kernel(
@@ -52,33 +104,57 @@ def _fwd_kernel(
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    live = (kj * block_k <= (qi + 1) * block_q - 1) if causal else (kj >= 0)
+    mm = _mm_dtype(q_ref.dtype)
+    q = q_ref[0].astype(mm)
+    k = k_ref[0].astype(mm)
+    v = v_ref[0].astype(mm)
+    tile = functools.partial(
+        _fwd_tile, q, k, v, qi, kj, m_ref, l_ref, acc_ref,
+        scale=scale, causal=causal, kv_len=kv_len,
+        block_q=block_q, block_k=block_k,
+    )
 
-    @pl.when(live)
-    def _():
-        q = q_ref[0].astype(jnp.float32) * scale
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = jnp.where(_mask(qi, kj, block_q, block_k, kv_len, causal), s, NEG_INF)
+    if causal:
+        # interior tiles (strictly below the diagonal band) skip the
+        # triangle mask; diagonal-crossing tiles apply it; dead tiles skip.
+        first_col = kj * block_k
+        last_col = first_col + block_k - 1
+        first_row = qi * block_q
+        last_row = first_row + block_q - 1
 
-        m_prev = m_ref[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m_ref[...] = m_new
+        @pl.when(last_col <= first_row)
+        def _():
+            tile(interior=True)
+
+        @pl.when((last_col > first_row) & (first_col <= last_row))
+        def _():
+            tile(interior=False)
+    else:
+        tile(interior=False)
 
     @pl.when(kj == num_k - 1)
     def _():
         l_safe = jnp.maximum(l_ref[...], 1e-30)
         o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
         lse_ref[0, 0] = (m_ref[...] + jnp.log(l_safe))[:, 0]
+
+
+def _dq_tile(q, k, v, do, lse, delta, qi, kj, acc_ref, *, scale, causal,
+             kv_len, block_q, block_k, interior):
+    s = scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp(s - lse)
+    mask = _build_mask(qi, kj, block_q, block_k, kv_len, causal, interior=interior)
+    if mask is not None:
+        p = jnp.where(mask, p, 0.0)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta)).astype(k.dtype)
+    acc_ref[...] += scale * jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 def _dq_kernel(
@@ -93,34 +169,60 @@ def _dq_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    live = (kj * block_k <= (qi + 1) * block_q - 1) if causal else (kj >= 0)
+    mm = _mm_dtype(q_ref.dtype)
+    q = q_ref[0].astype(mm)
+    k = k_ref[0].astype(mm)
+    v = v_ref[0].astype(mm)
+    do = do_ref[0].astype(mm)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    tile = functools.partial(
+        _dq_tile, q, k, v, do, lse, delta, qi, kj, acc_ref,
+        scale=scale, causal=causal, kv_len=kv_len,
+        block_q=block_q, block_k=block_k,
+    )
 
-    @pl.when(live)
-    def _():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, None]
-        delta = delta_ref[0, 0][:, None]
+    if causal:
+        first_col = kj * block_k
+        last_col = first_col + block_k - 1
+        first_row = qi * block_q
+        last_row = first_row + block_q - 1
 
-        s = scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        p = jnp.where(
-            _mask(qi, kj, block_q, block_k, kv_len, causal), jnp.exp(s - lse), 0.0
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - delta)
-        acc_ref[...] += scale * jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        @pl.when(last_col <= first_row)
+        def _():
+            tile(interior=True)
+
+        @pl.when((last_col > first_row) & (first_col <= last_row))
+        def _():
+            tile(interior=False)
+    else:
+        tile(interior=False)
 
     @pl.when(kj == num_k - 1)
     def _():
         dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _dkv_tile(q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref, *,
+              scale, causal, kv_len, block_q, block_k, interior):
+    s = scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp(s - lse)
+    mask = _build_mask(qi, kj, block_q, block_k, kv_len, causal, interior=interior)
+    if mask is not None:
+        p = jnp.where(mask, p, 0.0)
+    pc = p.astype(do.dtype)
+    dv_acc_ref[...] += jax.lax.dot_general(
+        pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_acc_ref[...] += scale * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 def _dkv_kernel(
@@ -137,34 +239,36 @@ def _dkv_kernel(
         dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
         dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
 
-    # under causal masking, q tiles before this k tile's diagonal contribute nothing
-    live = ((qi + 1) * block_q - 1 >= kj * block_k) if causal else (qi >= 0)
+    mm = _mm_dtype(q_ref.dtype)
+    q = q_ref[0].astype(mm)
+    k = k_ref[0].astype(mm)
+    v = v_ref[0].astype(mm)
+    do = do_ref[0].astype(mm)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    tile = functools.partial(
+        _dkv_tile, q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref,
+        scale=scale, causal=causal, kv_len=kv_len,
+        block_q=block_q, block_k=block_k,
+    )
 
-    @pl.when(live)
-    def _():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, None]
-        delta = delta_ref[0, 0][:, None]
+    if causal:
+        # under causal masking, q tiles before this k tile's diagonal
+        # contribute nothing; q tiles past the band need no triangle mask.
+        first_col = kj * block_k
+        last_col = first_col + block_k - 1
+        first_row = qi * block_q
+        last_row = first_row + block_q - 1
 
-        s = scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        p = jnp.where(
-            _mask(qi, kj, block_q, block_k, kv_len, causal), jnp.exp(s - lse), 0.0
-        )
-        dv_acc_ref[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - delta)
-        dk_acc_ref[...] += scale * jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        @pl.when(first_row >= last_col + 1)
+        def _():
+            tile(interior=True)
+
+        @pl.when((last_row >= first_col) & (first_row < last_col + 1))
+        def _():
+            tile(interior=False)
+    else:
+        tile(interior=False)
 
     @pl.when(qi == num_q - 1)
     def _():
@@ -309,13 +413,15 @@ def flash_attention(
     scale: float,
     causal: bool = False,
     block_q: int = 256,
-    block_k: int = 256,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Differentiable flash attention over (BH, S, D) tensors.
 
     Args:
-        q: (BH, Sq, D); k, v: (BH, Sk, D). Any float dtype; f32 accumulation.
+        q: (BH, Sq, D); k, v: (BH, Sk, D). Matmuls run in the input dtype
+            (bf16 on the MXU for bf16 inputs) with f32 accumulation; the
+            softmax state is always f32.
         scale: softmax temperature (typically 1/sqrt(D)).
         causal: lower-triangular masking.
         interpret: run kernels in interpreter mode (CPU testing).

@@ -26,7 +26,8 @@ _cache_dir = os.environ.get(
 )
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+# cache everything: the suite's cost is hundreds of sub-second compiles
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 # Heavyweight integration tests (>~15 s each on the 1-CPU image), centrally
 # marked `slow` so `./runtests.sh --quick` stays a fast smoke gate while
@@ -73,6 +74,10 @@ _SLOW = {
     "test_engines.py::TestBatchNormDiscriminatorState::test_batch_stats_update_through_fused_step",
     "test_latent_inferers.py::TestLatentDiffusionInferer::test_mismatched_latent_shapes",
     "test_latent_inferers.py::TestKVCacheSampling::test_cached_matches_windowed_greedy",
+    "test_latent_inferers.py::TestControlNetInferers::test_latent_controlnet",
+    "test_perceptual.py::TestPerceptualLoss2D::test_radimagenet_backend",
+    "test_engines.py::TestVQGANStep::test_fused_step_updates_g_d_and_codebook",
+    "test_engines.py::TestAdversarialTrainerIntegration::test_five_epoch_run",
 }
 
 

@@ -67,6 +67,33 @@ class TestAttention:
         expected = jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(scores, -1), v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-4, atol=2e-5)
 
+    def test_flash_bf16_matches_einsum(self):
+        """bf16 inputs take the bf16-MXU matmul path; parity at bf16 tolerance."""
+        q, k, v = self._qkv(b=1, sq=160, sk=160, c=32)
+        q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+        ref = dot_product_attention(q, k, v, num_heads=2, use_flash=False)
+        out = dot_product_attention(q, k, v, num_heads=2, use_flash=True)
+        np.testing.assert_allclose(
+            np.asarray(ref, np.float32), np.asarray(out, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+
+    def test_flash_bf16_grads_match_einsum(self):
+        q, k, v = self._qkv(b=1, sq=160, sk=160, c=32)
+        q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+
+        def loss(use_flash):
+            def f(q, k, v):
+                out = dot_product_attention(q, k, v, num_heads=2, use_flash=use_flash)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        for a, b in zip(loss(True), loss(False)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=6e-2, atol=6e-2,
+            )
+
     def test_upcast_matches(self):
         q, k, v = self._qkv()
         a = dot_product_attention(q, k, v, num_heads=2, use_flash=False, upcast=True)
