@@ -56,7 +56,15 @@ def build_step():
 
 
 def op_breakdown(trace_dir: str):
-    """Decode the xplane: (busy_ps, {category: ps}, {top op: ps}) over XLA ops."""
+    """Decode the xplane into (compute_busy_ps, async_dma_union_ps, cats, top).
+
+    The TPU xplane has two device op timelines: "XLA Ops" (the serial
+    compute stream — its interval union equals its sum) and "Async XLA Ops"
+    (DMA copy-start/slice-start spans that overlap compute). Matching the
+    line name with `in` catches both and double-counts the DMAs as busy
+    time; they must be separated — the async union tells how much copy
+    traffic exists, compute busy vs wall tells whether it is hidden.
+    """
     import collections
     import glob
 
@@ -66,7 +74,8 @@ def op_breakdown(trace_dir: str):
     path = max(paths, key=os.path.getmtime)
 
     space = memoryview(open(path, "rb").read())
-    busy_total = 0
+    compute_busy = 0
+    async_union = 0
     cats: collections.Counter = collections.Counter()
     ops: collections.Counter = collections.Counter()
     for field, _, val in xplane_summary._fields(space):
@@ -77,17 +86,22 @@ def op_breakdown(trace_dir: str):
             continue
         for line_buf in lines:
             lname, events = xplane_summary.parse_line(line_buf)
-            if "XLA Ops" not in lname:
+            if lname not in ("XLA Ops", "Async XLA Ops"):
                 continue
             intervals = []
             for ev in events:
                 mid, dur, off = xplane_summary.parse_event(ev)
-                opname = event_meta.get(mid, f"meta:{mid}")
                 intervals.append((off, off + dur))
-                cats[categorize(opname)] += dur
-                ops[opname.split(".")[0]] += dur
-            busy_total += xplane_summary._union_time(intervals)
-    return busy_total, dict(cats), dict(ops.most_common(12))
+                if lname == "XLA Ops":
+                    opname = event_meta.get(mid, f"meta:{mid}")
+                    cats[categorize(opname)] += dur
+                    ops[opname.split(".")[0].split(" ")[0]] += dur
+            union = xplane_summary._union_time(intervals)
+            if lname == "XLA Ops":
+                compute_busy += union
+            else:
+                async_union += union
+    return compute_busy, async_union, dict(cats), dict(ops.most_common(12))
 
 
 def categorize(op: str) -> str:
@@ -142,8 +156,9 @@ def main() -> None:
     _ = float(loss)
     wall_per_step = (time.time() - t0) / steps
 
-    busy_ps, cats, top_ops = op_breakdown(trace_dir)
+    busy_ps, async_ps, cats, top_ops = op_breakdown(trace_dir)
     busy_per_step = busy_ps / steps / 1e12
+    async_per_step = async_ps / steps / 1e12
     total_cat = sum(cats.values()) or 1
     breakdown = {
         k: round(v / total_cat * 100, 1) for k, v in sorted(cats.items(), key=lambda kv: -kv[1])
@@ -152,6 +167,7 @@ def main() -> None:
     result = {
         "metric": "2d_train_measured_mfu",
         "busy_s_per_step": round(busy_per_step, 5),
+        "async_dma_s_per_step": round(async_per_step, 5),
         "wall_s_per_step": round(wall_per_step, 5),
         "steps_per_s_wall": round(1 / wall_per_step, 2),
         "flops_per_step": flops,
