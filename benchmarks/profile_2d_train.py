@@ -58,50 +58,18 @@ def build_step():
 def op_breakdown(trace_dir: str):
     """Decode the xplane into (compute_busy_ps, async_dma_union_ps, cats, top).
 
-    The TPU xplane has two device op timelines: "XLA Ops" (the serial
-    compute stream — its interval union equals its sum) and "Async XLA Ops"
-    (DMA copy-start/slice-start spans that overlap compute). Matching the
-    line name with `in` catches both and double-counts the DMAs as busy
-    time; they must be separated — the async union tells how much copy
-    traffic exists, compute busy vs wall tells whether it is hidden.
+    Delegates to xplane_summary.device_breakdown, which keeps the "XLA
+    Ops" compute stream separate from the "Async XLA Ops" DMA spans
+    (conflating them double-counts async copies as busy time).
     """
-    import collections
     import glob
 
     paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb"))
     if not paths:
         raise RuntimeError(f"no xplane under {trace_dir}")
     path = max(paths, key=os.path.getmtime)
-
-    space = memoryview(open(path, "rb").read())
-    compute_busy = 0
-    async_union = 0
-    cats: collections.Counter = collections.Counter()
-    ops: collections.Counter = collections.Counter()
-    for field, _, val in xplane_summary._fields(space):
-        if field != 1:
-            continue
-        name, lines, event_meta = xplane_summary.parse_plane(val)
-        if "TPU" not in name and "/device" not in name.lower():
-            continue
-        for line_buf in lines:
-            lname, events = xplane_summary.parse_line(line_buf)
-            if lname not in ("XLA Ops", "Async XLA Ops"):
-                continue
-            intervals = []
-            for ev in events:
-                mid, dur, off = xplane_summary.parse_event(ev)
-                intervals.append((off, off + dur))
-                if lname == "XLA Ops":
-                    opname = event_meta.get(mid, f"meta:{mid}")
-                    cats[categorize(opname)] += dur
-                    ops[opname.split(".")[0].split(" ")[0]] += dur
-            union = xplane_summary._union_time(intervals)
-            if lname == "XLA Ops":
-                compute_busy += union
-            else:
-                async_union += union
-    return compute_busy, async_union, dict(cats), dict(ops.most_common(12))
+    bd = xplane_summary.device_breakdown(path, categorize=categorize)
+    return bd["compute_busy_ps"], bd["async_union_ps"], bd["cats"], bd["top_ops"]
 
 
 def categorize(op: str) -> str:

@@ -114,6 +114,68 @@ def _union_time(intervals: list[tuple[int, int]]) -> int:
     return total + (cur_e - cur_s)
 
 
+def device_breakdown(path: str, categorize=None, top: int = 12):
+    """Decode a TPU xplane into a compute/DMA time breakdown.
+
+    The device plane has two op timelines: "XLA Ops" (the serial compute
+    stream) and "Async XLA Ops" (DMA copy/slice spans overlapping
+    compute). They must be matched *exactly* — a substring match catches
+    both and double-counts the DMA spans as busy time.
+
+    Returns dict with compute_busy_ps, async_union_ps, cats (category ->
+    ps, over the compute line only) and top_ops (name -> ps).
+    """
+    if categorize is None:
+        def categorize(op: str) -> str:
+            lo = op.lower()
+            if "attn" in lo or "flash" in lo or "custom-call" in lo:
+                return "custom-call (pallas)"
+            if "conv" in lo or "dot" in lo or "einsum" in lo:
+                return "matmul/conv"
+            if "fusion" in lo:
+                return "fusion"
+            if "copy" in lo or "transpose" in lo or "bitcast" in lo:
+                return "copy/layout"
+            if "dynamic" in lo or "slice" in lo or "concatenate" in lo or "pad" in lo:
+                return "slice/concat"
+            return "other"
+
+    buf = memoryview(open(path, "rb").read())
+    compute_busy = 0
+    async_union = 0
+    cats: collections.Counter = collections.Counter()
+    ops: collections.Counter = collections.Counter()
+    for field, _, val in _fields(buf):
+        if field != 1:
+            continue
+        pname, lines, event_meta = parse_plane(val)
+        if "TPU" not in pname and "/device" not in pname.lower():
+            continue
+        for line_buf in lines:
+            lname, events = parse_line(line_buf)
+            if lname not in ("XLA Ops", "Async XLA Ops"):
+                continue
+            intervals = []
+            for ev in events:
+                mid, dur, off = parse_event(ev)
+                intervals.append((off, off + dur))
+                if lname == "XLA Ops":
+                    opname = event_meta.get(mid, f"meta:{mid}")
+                    cats[categorize(opname)] += dur
+                    ops[opname.split(".")[0].split(" ")[0]] += dur
+            union = _union_time(intervals)
+            if lname == "XLA Ops":
+                compute_busy += union
+            else:
+                async_union += union
+    return {
+        "compute_busy_ps": compute_busy,
+        "async_union_ps": async_union,
+        "cats": dict(cats),
+        "top_ops": dict(ops.most_common(top)),
+    }
+
+
 def summarize(path: str, top: int = 25, line_filter: str = "XLA Ops"):
     buf = memoryview(open(path, "rb").read())
     planes = [val for field, _, val in _fields(buf) if field == 1]
