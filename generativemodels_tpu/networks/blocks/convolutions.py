@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -27,8 +28,51 @@ def _tuple(v, n: int) -> tuple:
     return (v,) * n
 
 
+def _conv3d_via_2d(x, w, strides, pads):
+    """3x3x3-style conv as a sum of depth-tap batched 2D convs.
+
+    XLA:TPU's native 3D convolution runs far below the MXU roofline at
+    UNet shapes (benchmarks/results_conv3d_probe.json: 6.2% of bf16 peak
+    at 128^3 C=32, vs 22.5% for this decomposition — 3.6x; every probed
+    level is faster). Depth is folded into the batch so each tap is a
+    mature 2D conv; taps accumulate into the output.
+
+    x: (B, D, H, W, Cin); w: (KD, KH, KW, Cin, Cout); strides/pads are
+    3-tuples of ints (symmetric torch-style padding). dilation 1 only.
+    """
+    b, d_in, h, wd, cin = x.shape
+    kd, kh, kw, _, cout = w.shape
+    sd, sh, sw = strides
+    pd, ph, pw = pads
+    d_out = (d_in + 2 * pd - kd) // sd + 1
+    pad2 = [(ph, ph), (pw, pw)]
+
+    y = None
+    for t in range(kd):
+        off = t - pd  # input depth index feeding output 0
+        lo = max(0, -off)
+        hi = max(0, (d_out - 1) * sd + off - (d_in - 1))
+        xt = x
+        if lo or hi:
+            xt = jnp.pad(x, ((0, 0), (lo, hi), (0, 0), (0, 0), (0, 0)))
+        start = max(0, off)
+        xt = xt[:, start : start + (d_out - 1) * sd + 1 : sd]
+        dn = lax.conv_dimension_numbers(
+            (b * d_out, h, wd, cin), (kh, kw, cin, cout), ("NHWC", "HWIO", "NHWC")
+        )
+        z = lax.conv_general_dilated(
+            xt.reshape(b * d_out, h, wd, cin), w[t], (sh, sw), pad2,
+            dimension_numbers=dn,
+        )
+        y = z if y is None else y + z
+    return y.reshape(b, d_out, *y.shape[1:])
+
+
 class ConvND(nn.Module):
     """Channels-last convolution over `spatial_dims` spatial axes.
+
+    Owns its `kernel`/`bias` parameters (no nested flax Conv) so the
+    parameter tree is identical whichever lowering runs underneath.
 
     Args:
         spatial_dims: 1, 2 or 3.
@@ -41,6 +85,9 @@ class ConvND(nn.Module):
         zero_init: initialise kernel (and bias) to zero — used for the
             zero-modules of diffusion nets (reference zero_module,
             diffusion_model_unet.py:63-69).
+        decompose_3d: lower 3D convs as depth-tap batched 2D convs
+            (see _conv3d_via_2d). None = auto: on for TPU backends when
+            the geometry allows; False forces the native lowering.
     """
 
     spatial_dims: int
@@ -52,25 +99,55 @@ class ConvND(nn.Module):
     use_bias: bool = True
     zero_init: bool = False
     dtype: jnp.dtype | None = None
+    decompose_3d: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n = self.spatial_dims
-        if isinstance(self.padding, str):
-            padding = self.padding
-        else:
-            padding = [(p, p) for p in _tuple(self.padding, n)]
+        k = _tuple(self.kernel_size, n)
+        s = _tuple(self.strides, n)
+        d = _tuple(self.dilation, n)
         kernel_init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
-        return nn.Conv(
-            features=self.features,
-            kernel_size=_tuple(self.kernel_size, n),
-            strides=_tuple(self.strides, n),
-            padding=padding,
-            kernel_dilation=_tuple(self.dilation, n),
-            use_bias=self.use_bias,
-            kernel_init=kernel_init,
-            dtype=self.dtype,
-        )(x)
+        kernel = self.param(
+            "kernel", kernel_init, (*k, x.shape[-1], self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        # match flax nn.Conv dtype promotion: with dtype=None, bf16 inputs
+        # are promoted to the f32 parameter dtype, not the other way round
+        dtype = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+
+        symmetric = not isinstance(self.padding, str)
+        pads = _tuple(self.padding, n) if symmetric else None
+        decompose = self.decompose_3d
+        if decompose is None:
+            decompose = (
+                n == 3
+                and symmetric
+                and d == (1, 1, 1)
+                and jax.default_backend() == "tpu"
+            )
+        if decompose:
+            if n != 3 or not symmetric or d != (1, 1, 1):
+                raise ValueError(
+                    "decompose_3d requires spatial_dims=3, symmetric int "
+                    "padding and dilation 1"
+                )
+            y = _conv3d_via_2d(x, kernel, s, pads)
+        else:
+            padding = [(p, p) for p in pads] if symmetric else self.padding
+            dn = lax.conv_dimension_numbers(x.shape, kernel.shape, _dim_numbers(n))
+            y = lax.conv_general_dilated(
+                x, kernel, s, padding, rhs_dilation=d, dimension_numbers=dn
+            )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class ConvTransposeND(nn.Module):

@@ -108,8 +108,8 @@ class TestControlNet:
         )
         # conv_in kernels must now match the UNet's
         np.testing.assert_allclose(
-            np.asarray(new_params["conv_in"]["Conv_0"]["kernel"]),
-            np.asarray(unet_vars["params"]["conv_in"]["Conv_0"]["kernel"]),
+            np.asarray(new_params["conv_in"]["kernel"]),
+            np.asarray(unet_vars["params"]["conv_in"]["kernel"]),
         )
 
 

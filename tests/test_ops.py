@@ -159,3 +159,67 @@ class TestTimestepEmbeddingGoldenParity:
 
         ours = get_timestep_embedding(jnp.asarray([0, 7, 250, 999]), dim)
         np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-5, atol=2e-6)
+
+
+class TestConv3DDecomposition:
+    """The depth-tap 2D decomposition must match the native 3D lowering.
+
+    TPU auto-enables decompose_3d (benchmarks/results_conv3d_probe.json:
+    3.6x at 128^3 C=32); parity here runs both paths explicitly on CPU.
+    """
+
+    def _run(self, *, size=(10, 12, 14), cin=6, cout=8, kernel=3, stride=1,
+             padding=1, use_bias=True, dtype=None):
+        from generativemodels_tpu.networks.blocks.convolutions import ConvND
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, *size, cin))
+        if dtype is not None:
+            x = x.astype(dtype)
+        kwargs = dict(
+            spatial_dims=3, features=cout, kernel_size=kernel, strides=stride,
+            padding=padding, use_bias=use_bias, dtype=dtype,
+        )
+        native = ConvND(**kwargs, decompose_3d=False)
+        fast = ConvND(**kwargs, decompose_3d=True)
+        variables = native.init(jax.random.PRNGKey(1), x)
+        a = native.apply(variables, x)
+        b = fast.apply(variables, x)  # identical param tree by construction
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-5,
+        )
+
+    def test_k3_s1_p1(self):
+        self._run()
+
+    def test_k3_s2_p1(self):
+        self._run(stride=2)
+
+    def test_k1(self):
+        self._run(kernel=1, padding=0)
+
+    def test_k4_s2_p1_even(self):
+        # VQVAE-style downsample arithmetic (k=4, s=2) on even sizes
+        self._run(size=(8, 8, 8), kernel=4, stride=2, padding=1)
+
+    def test_no_bias(self):
+        self._run(use_bias=False)
+
+    def test_grads_match(self):
+        from generativemodels_tpu.networks.blocks.convolutions import ConvND
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 6, 6, 4))
+        kwargs = dict(spatial_dims=3, features=5, kernel_size=3, strides=1, padding=1)
+        native = ConvND(**kwargs, decompose_3d=False)
+        fast = ConvND(**kwargs, decompose_3d=True)
+        variables = native.init(jax.random.PRNGKey(1), x)
+
+        def loss(mod):
+            def f(v, xx):
+                return jnp.sum(mod.apply(v, xx) ** 2)
+            return jax.grad(f, argnums=(0, 1))(variables, x)
+
+        ga, gb = loss(native), loss(fast)
+        for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)

@@ -57,8 +57,8 @@ class TestControlNetRecipe:
         )
         # seeded subtrees match the UNet exactly (reference load_state_dict :136)
         np.testing.assert_array_equal(
-            cn_params["conv_in"]["Conv_0"]["kernel"],
-            unet_params["conv_in"]["Conv_0"]["kernel"],
+            cn_params["conv_in"]["kernel"],
+            unet_params["conv_in"]["kernel"],
         )
 
         scheduler = DDPMScheduler(num_train_timesteps=10)
