@@ -65,6 +65,34 @@ def conv3d_via_2d(x, w):
     return out
 
 
+def conv3d_wide_n(x, w):
+    """One conv2d with the 3 depth taps stacked on N, then shifted sums.
+
+    The via-2d variant runs three N=Cout matmuls (25% MXU N-fill at
+    Cout=32); stacking taps gives one N=3*Cout conv (75% fill) and the
+    depth combination becomes a cheap shifted add over the output.
+    """
+    b, d, h, wd, cin = x.shape
+    kd, kh, kw, _, cout = w.shape
+    xb = x.reshape(b * d, h, wd, cin)
+    wn = jnp.concatenate([w[t] for t in range(kd)], axis=-1)  # (kh,kw,cin,kd*cout)
+    z = jax.lax.conv_general_dilated(
+        xb, wn, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ).reshape(b, d, h, wd, kd, cout)
+    # y[:, do] = sum_t z[:, do + t - pd, ..., t] with zero outside range
+    pd = kd // 2
+    y = z[:, :, :, :, pd]
+    for t in range(kd):
+        if t == pd:
+            continue
+        off = t - pd
+        if off < 0:
+            y = y.at[:, -off:].add(z[:, :off, :, :, t])
+        else:
+            y = y.at[:, :-off].add(z[:, off:, :, :, t])
+    return y
+
+
 def _timeit(make_scanned, trials: int = 5) -> float:
     short = make_scanned(N_SHORT)
     long = make_scanned(N_LONG)
@@ -88,7 +116,11 @@ def main() -> None:
         x = jax.random.normal(jax.random.PRNGKey(0), (1, size, size, size, cin), jnp.bfloat16)
         w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, cin, cout), jnp.bfloat16) * 0.05
 
-        for name, fn in (("native3d", conv3d_native), ("via2d", conv3d_via_2d)):
+        for name, fn in (
+            ("native3d", conv3d_native),
+            ("via2d", conv3d_via_2d),
+            ("wide_n", conv3d_wide_n),
+        ):
             def make(n, fn=fn):
                 @jax.jit
                 def run():
@@ -111,7 +143,9 @@ def main() -> None:
     w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 32, 32), jnp.bfloat16) * 0.05
     a = conv3d_native(x, w).astype(jnp.float32)
     b = conv3d_via_2d(x, w).astype(jnp.float32)
-    print("max_abs_diff:", float(jnp.max(jnp.abs(a - b))))
+    c = conv3d_wide_n(x, w).astype(jnp.float32)
+    print("max_abs_diff via2d:", float(jnp.max(jnp.abs(a - b))))
+    print("max_abs_diff wide_n:", float(jnp.max(jnp.abs(a - c))))
 
     out = os.path.join(os.path.dirname(__file__), "results_conv3d_probe.json")
     with open(out, "w") as f:

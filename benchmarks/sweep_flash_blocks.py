@@ -29,6 +29,9 @@ N_SHORT, N_LONG = 8, 40
 CASES = [
     ("2d_lvl1", 128, 1024, 256, [(256, 512), (512, 512), (256, 1024), (512, 1024), (128, 1024)]),
     ("mid_4k", 4, 4096, 64, [(256, 512), (512, 512), (256, 1024), (512, 1024), (256, 4096), (512, 2048)]),
+    # 3D 128^3 mid-level attention: ~40% of a DDIM sample after the conv
+    # decomposition landed; bh=2 at sampling batch 1
+    ("3d_32k", 2, 32768, 64, [(256, 1024), (512, 1024), (512, 2048), (1024, 1024), (1024, 2048), (2048, 2048), (512, 4096)]),
 ]
 
 

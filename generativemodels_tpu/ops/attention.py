@@ -30,6 +30,22 @@ def _on_tpu() -> bool:
         return False
 
 
+def _pick_blocks(seq: int, head_dim: int) -> tuple[int, int]:
+    """(block_q, block_k) by shape, from the on-chip sweep
+    (benchmarks/sweep_flash_blocks.py -> results_flash_sweep.json).
+
+    Narrow heads (d < 128) leave the MXU half-filled per tile, so bigger
+    q tiles amortise the K/V streaming: at seq 32k d=64 bq=1024 is 22%
+    faster than bq=256; at 4k, bq=512. Wide heads (d=256, the 2D configs)
+    are insensitive to bq — keep the VMEM-lean default.
+    """
+    if head_dim >= 128:
+        return 256, 1024
+    if seq >= 8192:
+        return 1024, 1024
+    return 512, 1024
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -77,8 +93,10 @@ def dot_product_attention(
         qf = qh.transpose(0, 2, 1, 3).reshape(b * num_heads, sq, head_dim)
         kf = kh.transpose(0, 2, 1, 3).reshape(b * num_heads, sk, head_dim)
         vf = vh.transpose(0, 2, 1, 3).reshape(b * num_heads, sk, head_dim)
+        block_q, block_k = _pick_blocks(sq, head_dim)
         out = flash_attention(
-            qf, kf, vf, scale=scale, causal=causal, interpret=not _on_tpu()
+            qf, kf, vf, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, interpret=not _on_tpu()
         )
         out = out.reshape(b, num_heads, sq, head_dim).transpose(0, 2, 1, 3)
         return out.reshape(b, sq, inner)
