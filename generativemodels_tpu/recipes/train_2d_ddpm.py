@@ -42,6 +42,10 @@ def main() -> None:
     parser.add_argument("--lr", type=float, default=2.5e-5)
     parser.add_argument("--channels", type=int, nargs="+", default=[128, 256, 256])
     parser.add_argument("--norm-groups", type=int, default=32)
+    parser.add_argument("--prediction-type", choices=["epsilon", "v_prediction"],
+                        default="epsilon",
+                        help="training target; v_prediction mirrors "
+                        "2d_ddpm_tutorial_v_prediction.py")
     parser.add_argument("--data-parallel", action="store_true")
     parser.add_argument("--data-dir", type=str, default=None,
                         help=".nii/.nii.gz/.npy directory; synthetic blobs if omitted")
@@ -56,7 +60,9 @@ def main() -> None:
         num_head_channels=args.channels[-1],
         norm_num_groups=args.norm_groups,
     )
-    scheduler = DDPMScheduler(num_train_timesteps=1000)
+    scheduler = DDPMScheduler(
+        num_train_timesteps=1000, prediction_type=args.prediction_type
+    )
     tx = optax.adam(args.lr)
 
     x0 = jnp.zeros((args.batch, 1, args.size, args.size))
@@ -64,7 +70,9 @@ def main() -> None:
     apply = lambda p, x, t: model.apply({"params": p}, x, t)
 
     mesh = create_mesh({"data": jax.device_count()}) if args.data_parallel else None
-    step = make_diffusion_train_step(apply, scheduler, tx, mesh=mesh)
+    step = make_diffusion_train_step(
+        apply, scheduler, tx, mesh=mesh, prediction_target=args.prediction_type
+    )
     params = shard_params(variables["params"], mesh) if mesh else variables["params"]
     state = init_train_state(params, tx)
 

@@ -260,6 +260,32 @@ class TestRecipeMains:
         assert result["sample_count"] == 4
 
 
+
+    def test_compare_schedulers_main(self, tmp_path):
+        from generativemodels_tpu.recipes import compare_schedulers
+
+        out = str(tmp_path / "cmp.json")
+        self._run(compare_schedulers, [
+            "--train-steps", "2", "--batch", "2", "--size", "16",
+            "--sample-batch", "2", "--step-counts", "5",
+            "--channels", "8", "8", "--norm-groups", "8", "--out", out,
+        ])
+        import json
+        recs = json.load(open(out))
+        # DDPM-1000 reference + 3 schedulers at 5 steps
+        assert len(recs) == 4
+        assert {r["scheduler"] for r in recs} == {"DDPM", "DDIM", "PNDM"}
+
+    def test_train_2d_ddpm_v_prediction_main(self):
+        from generativemodels_tpu.recipes import train_2d_ddpm
+
+        self._run(train_2d_ddpm, [
+            "--steps", "2", "--batch", "2", "--size", "16",
+            "--channels", "8", "8", "--norm-groups", "8",
+            "--prediction-type", "v_prediction",
+        ])
+
+
 class TestEvalQualityUnits:
     def test_ms_ssim_weights_truncation(self):
         from generativemodels_tpu.recipes.eval_quality import ms_ssim_weights_for
