@@ -12,6 +12,7 @@ arithmetic (relevant for stride-2 downsampling on even sizes).
 """
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import flax.linen as nn
@@ -126,12 +127,17 @@ class ConvND(nn.Module):
         pads = _tuple(self.padding, n) if symmetric else None
         decompose = self.decompose_3d
         if decompose is None:
-            decompose = (
-                n == 3
-                and symmetric
-                and d == (1, 1, 1)
-                and jax.default_backend() == "tpu"
-            )
+            # GMTPU_DECOMPOSE_3D=always|never|auto overrides the backend
+            # auto-select (e.g. to compile-check the decomposed+sharded
+            # path on a virtual CPU mesh, or to bisect regressions)
+            env = os.environ.get("GMTPU_DECOMPOSE_3D", "auto")
+            eligible = n == 3 and symmetric and d == (1, 1, 1)
+            if env == "always":
+                decompose = eligible
+            elif env == "never":
+                decompose = False
+            else:
+                decompose = eligible and jax.default_backend() == "tpu"
         if decompose:
             if n != 3 or not symmetric or d != (1, 1, 1):
                 raise ValueError(

@@ -92,6 +92,44 @@ class TestSpatialSharding:
         assert bool(jnp.isfinite(loss))
 
 
+
+    def test_3d_decomposed_conv_with_depth_sharding(self):
+        """Depth-tap conv decomposition forced + depth sharded over space.
+
+        The decomposition folds depth into batch (convolutions.py
+        _conv3d_via_2d); GSPMD must still compile and run when the depth
+        axis is the sharded one (this is the real-TPU multichip config:
+        decompose_3d auto-on + spatial_shard_axis=2).
+        """
+        import os
+
+        from generativemodels_tpu.networks.nets import DiffusionModelUNet
+
+        os.environ["GMTPU_DECOMPOSE_3D"] = "always"
+        try:
+            mesh = create_mesh({"data": 2, "space": 4})
+            model = DiffusionModelUNet(
+                spatial_dims=3, in_channels=1, out_channels=1, num_res_blocks=1,
+                num_channels=(8, 8), attention_levels=(False, False),
+                norm_num_groups=8, num_head_channels=8,
+            )
+            x = jnp.zeros((4, 1, 8, 8, 8))
+            v = jax.jit(model.init)(jax.random.PRNGKey(0), x, jnp.zeros((4,), jnp.int32))
+            apply = lambda p, xx, tt: model.apply({"params": p}, xx, tt)
+            scheduler = DDPMScheduler(num_train_timesteps=100)
+            tx = optax.adam(1e-4)
+            step = make_diffusion_train_step(
+                apply, scheduler, tx, mesh=mesh, spatial_shard_axis=2, donate=False
+            )
+            state = init_train_state(shard_params(v["params"], mesh), tx)
+            vols = jax.random.uniform(jax.random.PRNGKey(1), (4, 1, 8, 8, 8))
+            with mesh:
+                state, loss = step(state, vols, jax.random.PRNGKey(2))
+            assert bool(jnp.isfinite(loss))
+        finally:
+            os.environ.pop("GMTPU_DECOMPOSE_3D", None)
+
+
 class TestCodebookSync:
     def test_ema_quantizer_psum_under_shard_map(self):
         """EMA statistics must be identical whether computed globally or
