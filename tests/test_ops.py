@@ -223,3 +223,37 @@ class TestConv3DDecomposition:
         ga, gb = loss(native), loss(fast)
         for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+class TestConv3DDecompositionEndToEnd:
+    def test_full_3d_unet_forward_parity(self):
+        """Whole 3D UNet forward: decomposed vs native lowering.
+
+        Catches integration regressions the op-level grid can't (string
+        paddings, transposed convs, skip-connection 1x1x1s) — the env
+        override flips every eligible ConvND in the model at once.
+        """
+        import os
+
+        from generativemodels_tpu.networks.nets import DiffusionModelUNet
+
+        model = DiffusionModelUNet(
+            spatial_dims=3, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(8, 16), attention_levels=(False, True),
+            norm_num_groups=8, num_head_channels=16,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 8, 8, 8))
+        t = jnp.array([3])
+        v = model.init(jax.random.PRNGKey(1), x, t)
+
+        def run(mode):
+            os.environ["GMTPU_DECOMPOSE_3D"] = mode
+            try:
+                return model.apply(v, x, t)
+            finally:
+                os.environ.pop("GMTPU_DECOMPOSE_3D", None)
+
+        a, b = run("never"), run("always")
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )
