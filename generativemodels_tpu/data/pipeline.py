@@ -16,29 +16,59 @@ import jax
 import numpy as np
 
 
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+
+
+def _load_image(path: str) -> np.ndarray:
+    """Decode a 2D image to float32 [0, 1], grayscale kept single-channel."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im, dtype=np.float32)
+    if arr.max() > 1.0:
+        arr = arr / 255.0
+    return arr
+
+
 def file_dataset(
     data_dir: str,
     pattern: str = "*",
     num_workers: int = 4,
     loop: bool = True,
 ) -> Iterator[np.ndarray]:
-    """Yield float32 arrays from .nii/.nii.gz (native loader) or .npy files."""
+    """Yield float32 arrays from .nii/.nii.gz (native loader), .npy, or
+    2D image files (PNG/JPEG/... — e.g. MedNIST) with threaded decoding."""
+    exts = (".nii", ".nii.gz", ".npy") + _IMAGE_EXTS
     paths = sorted(
         p for p in glob.glob(os.path.join(data_dir, pattern))
-        if p.endswith((".nii", ".nii.gz", ".npy"))
+        if p.lower().endswith(exts)
     )
     if not paths:
-        raise FileNotFoundError(f"no .nii/.nii.gz/.npy files under {data_dir}/{pattern}")
+        raise FileNotFoundError(
+            f"no {'/'.join(exts)} files under {data_dir}/{pattern}"
+        )
 
-    nifti_paths = [p for p in paths if not p.endswith(".npy")]
+    nifti_paths = [p for p in paths if p.endswith((".nii", ".nii.gz"))]
     npy_paths = [p for p in paths if p.endswith(".npy")]
+    image_paths = [p for p in paths if p.lower().endswith(_IMAGE_EXTS)]
 
-    if nifti_paths and not npy_paths:
+    if nifti_paths and not npy_paths and not image_paths:
         from .native import PrefetchNiftiLoader
 
         loader = PrefetchNiftiLoader(nifti_paths, num_workers=num_workers, loop=loop)
         yield from iter(loader)
         return
+
+    if image_paths and not npy_paths and not nifti_paths:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+            while True:
+                # map with a bounded window keeps `num_workers` decodes in
+                # flight ahead of the consumer (PIL releases the GIL in zlib)
+                yield from pool.map(_load_image, image_paths, chunksize=4)
+                if not loop:
+                    return
 
     while True:
         for p in npy_paths:

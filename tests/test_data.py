@@ -100,6 +100,26 @@ class TestPipeline:
         b = next(batched(file_dataset(str(tmp_path), loop=True), 4))
         assert b.shape == (4, 4, 4)
 
+
+    def test_png_dataset(self, tmp_path):
+        """MedNIST-style directory of 2D PNGs (threaded PIL decode)."""
+        from PIL import Image
+
+        from generativemodels_tpu.data import batched, file_dataset
+
+        for i in range(4):
+            Image.fromarray(
+                np.full((8, 8), i * 50, np.uint8)
+            ).save(tmp_path / f"img_{i}.png")
+        it = file_dataset(str(tmp_path), loop=False)
+        arrs = list(it)
+        assert len(arrs) == 4
+        assert arrs[0].shape == (8, 8) and arrs[0].dtype == np.float32
+        vals = sorted(round(float(a[0, 0]), 4) for a in arrs)
+        assert vals == [0.0, round(50 / 255, 4), round(100 / 255, 4), round(150 / 255, 4)]
+        b = next(batched(file_dataset(str(tmp_path), loop=True), 4))
+        assert b.shape == (4, 8, 8)
+
     def test_missing_dir(self):
         from generativemodels_tpu.data import file_dataset
 
