@@ -32,12 +32,17 @@ LATENT_SHAPE = (1, 3, 20, 28, 20)  # bundle latent (160/8, 224/8, 160/8)
 
 
 def main() -> None:
+    import jax.numpy as _jnp
+
     parser = load_preset("brain_3d_ldm")
     # the preset mirrors the bundle's concat+crossattn conditioning
     # (in_channels = latent+4); recipes/brain_ldm_sampler.py feeds the
-    # covariates through cross-attention only, so init for a 3ch input
-    unet = parser.resolve("network").clone(in_channels=LATENT_SHAPE[1])
-    aekl = parser.resolve("autoencoder")
+    # covariates through cross-attention only, so init for a 3ch input.
+    # bf16 compute = the TPU flagship precision (bundle runs AMP on GPU).
+    unet = parser.resolve("network").clone(
+        in_channels=LATENT_SHAPE[1], dtype=_jnp.bfloat16
+    )
+    aekl = parser.resolve("autoencoder").clone(dtype=_jnp.bfloat16)
     scheduler = parser.resolve("scheduler")
 
     x_unet = jnp.zeros((1, LATENT_SHAPE[1], *LATENT_SHAPE[2:]))
@@ -51,18 +56,24 @@ def main() -> None:
     )
     init_s = time.time() - t0
 
-    def unet_fn(x, t, context=None):
-        return unet.apply(unet_vars, x, t, context=context)
+    # params enter as jit ARGUMENTS — closing over them bakes ~2 GB of
+    # weights into the program as constants and bloats the compile
+    def _sample(uv, av, key):
+        def unet_fn(x, t, context=None):
+            return unet.apply(uv, x, t, context=context)
 
-    class BoundAekl:
-        def decode_stage_2_outputs(self, z):
-            return aekl.apply(aekl_vars, z, method=aekl.decode_stage_2_outputs)
+        class BoundAekl:
+            def decode_stage_2_outputs(self, z):
+                return aekl.apply(av, z, method=aekl.decode_stage_2_outputs)
 
-    sample = jax.jit(lambda key: sample_brain_ldm(
-        unet_fn, BoundAekl(), scheduler, LATENT_SHAPE,
-        gender=0.0, age=0.5, ventricular_vol=0.2, brain_vol=0.6,
-        num_inference_steps=50, key=key,
-    ))
+        return sample_brain_ldm(
+            unet_fn, BoundAekl(), scheduler, LATENT_SHAPE,
+            gender=0.0, age=0.5, ventricular_vol=0.2, brain_vol=0.6,
+            num_inference_steps=50, key=key,
+        )
+
+    jitted = jax.jit(_sample)
+    sample = lambda key: jitted(unet_vars, aekl_vars, key)
 
     t0 = time.time()
     img = sample(jax.random.PRNGKey(2))
