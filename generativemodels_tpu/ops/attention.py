@@ -65,7 +65,10 @@ def dot_product_attention(
         num_heads: number of attention heads H (inner_dim = H * D).
         scale: softmax scale; defaults to 1/sqrt(D).
         causal: lower-triangular mask (autoregressive decoding).
-        upcast: force fp32 scores (reference `upcast_attention` flag).
+        upcast: force fp32 scores on the einsum path (reference
+            `upcast_attention` flag). The flash path already keeps the
+            scores/softmax state in f32 by construction, which satisfies
+            the flag's stability purpose, so it does not force einsum.
         use_flash: True forces the Pallas kernel, False forces einsum,
             None auto-selects (TPU and long sequences).
         mask: optional boolean key mask, broadcastable to (B, Sq, Sk)
