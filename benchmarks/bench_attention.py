@@ -34,6 +34,12 @@ SHAPES = [
     ("2d_lvl1", 128, 1, 1024, 256),
     ("mid_4k", 2, 2, 4096, 64),
     ("3d_32k", 2, 2, 32768, 64),
+    # zoo-bundle attention shapes (wide heads, above the d=256 dispatch
+    # gate): brain bundle level-1 (10x14x10 latent, d=512) and the CXR
+    # bundle level-1 (32x32 latent, d=512) — measured to decide whether
+    # the auto-dispatch gate should admit d>256 (VERDICT round-2 weak 5)
+    ("bundle_d512", 1, 1, 1408, 512),
+    ("cxr_d512", 1, 1, 1024, 512),
 ]
 
 
@@ -67,8 +73,11 @@ def _timeit(make_scanned, trials: int = 5) -> float:
 
 
 def main() -> None:
+    selected = sys.argv[1:]
     results = []
     for label, b, heads, seq, d in SHAPES:
+        if selected and label not in selected:
+            continue
         key = jax.random.PRNGKey(0)
         kq, kk, kv = jax.random.split(key, 3)
         shape = (b, seq, heads * d)
@@ -142,6 +151,15 @@ def main() -> None:
             )
 
     out_path = os.path.join(os.path.dirname(__file__), "results_attention.json")
+    if selected:  # partial run: merge into existing records
+        try:
+            old = json.load(open(out_path))["results"]
+        except Exception:
+            old = []
+        merged = {(r["shape"], r["path"]): r for r in old}
+        for r in results:
+            merged[(r["shape"], r["path"])] = r
+        results = list(merged.values())
     with open(out_path, "w") as fh:
         json.dump({"backend": jax.default_backend(), "results": results}, fh, indent=1)
     print(f"\nwrote {out_path}")

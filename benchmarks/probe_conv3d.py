@@ -93,6 +93,31 @@ def conv3d_wide_n(x, w):
     return y
 
 
+def conv3d_input_fold(x, w):
+    """One conv2d with the 3 depth taps concatenated on the *input* channel.
+
+    Dual of wide_n: instead of widening N (which tripled the output
+    traffic and lost 3.7x), widen K. The depth-shifted inputs concat to
+    (b*d, h, w, kd*cin): contraction 9*cin -> 27*cin (full MXU K-fill at
+    cin=32), lane fill 32/128 -> 96/128 on the input loads, and the
+    output is written once with no partial-sum adds. Costs one extra
+    materialisation of the 3x-wide input (which XLA can fuse with the
+    producing elementwise op).
+    """
+    b, d, h, wd, cin = x.shape
+    kd, kh, kw, _, cout = w.shape
+    pad_hi = jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    pad_lo = jnp.pad(x[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    # output[d] = w[0]*x[d-1] + w[1]*x[d] + w[2]*x[d+1]
+    xcat = jnp.concatenate([pad_lo, x, pad_hi], axis=-1)
+    wcat = jnp.concatenate([w[0], w[1], w[2]], axis=2)  # (kh,kw,kd*cin,cout)
+    y = jax.lax.conv_general_dilated(
+        xcat.reshape(b * d, h, wd, kd * cin), wcat, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.reshape(b, d, h, wd, cout)
+
+
 def _timeit(make_scanned, trials: int = 5) -> float:
     short = make_scanned(N_SHORT)
     long = make_scanned(N_LONG)
@@ -111,16 +136,20 @@ def _timeit(make_scanned, trials: int = 5) -> float:
 
 
 def main() -> None:
+    variants = {
+        "native3d": conv3d_native,
+        "via2d": conv3d_via_2d,
+        "wide_n": conv3d_wide_n,
+        "input_fold": conv3d_input_fold,
+    }
+    selected = sys.argv[1:] or list(variants)
     results = []
     for label, size, cin, cout in SHAPES:
         x = jax.random.normal(jax.random.PRNGKey(0), (1, size, size, size, cin), jnp.bfloat16)
         w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, cin, cout), jnp.bfloat16) * 0.05
 
-        for name, fn in (
-            ("native3d", conv3d_native),
-            ("via2d", conv3d_via_2d),
-            ("wide_n", conv3d_wide_n),
-        ):
+        for name in selected:
+            fn = variants[name]
             def make(n, fn=fn):
                 @jax.jit
                 def run():
@@ -144,12 +173,24 @@ def main() -> None:
     a = conv3d_native(x, w).astype(jnp.float32)
     b = conv3d_via_2d(x, w).astype(jnp.float32)
     c = conv3d_wide_n(x, w).astype(jnp.float32)
+    e = conv3d_input_fold(x, w).astype(jnp.float32)
     print("max_abs_diff via2d:", float(jnp.max(jnp.abs(a - b))))
     print("max_abs_diff wide_n:", float(jnp.max(jnp.abs(a - c))))
+    print("max_abs_diff input_fold:", float(jnp.max(jnp.abs(a - e))))
 
     out = os.path.join(os.path.dirname(__file__), "results_conv3d_probe.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+    if len(selected) == len(variants):
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+    else:  # partial run: merge into existing records by (shape, variant)
+        try:
+            old = {(r["shape"], r["variant"]): r for r in json.load(open(out))}
+        except Exception:
+            old = {}
+        for r in results:
+            old[(r["shape"], r["variant"])] = r
+        with open(out, "w") as f:
+            json.dump(list(old.values()), f, indent=1)
 
 
 if __name__ == "__main__":

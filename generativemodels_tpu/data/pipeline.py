@@ -20,13 +20,19 @@ _IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
 
 
 def _load_image(path: str) -> np.ndarray:
-    """Decode a 2D image to float32 [0, 1], grayscale kept single-channel."""
+    """Decode a 2D image to float32 [0, 1], grayscale kept single-channel.
+
+    Scaling uses the *source dtype's* range (np.iinfo for integer modes),
+    not the observed pixel max, so near-black uint8 images and 16-bit
+    PNG/TIFF both land in a consistent [0, 1].
+    """
     from PIL import Image
 
     with Image.open(path) as im:
-        arr = np.asarray(im, dtype=np.float32)
-    if arr.max() > 1.0:
-        arr = arr / 255.0
+        raw = np.asarray(im)
+    arr = raw.astype(np.float32)
+    if np.issubdtype(raw.dtype, np.integer):
+        arr = arr / float(np.iinfo(raw.dtype).max)
     return arr
 
 
@@ -62,13 +68,31 @@ def file_dataset(
     if image_paths and not npy_paths and not nifti_paths:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        def path_stream():
             while True:
-                # map with a bounded window keeps `num_workers` decodes in
-                # flight ahead of the consumer (PIL releases the GIL in zlib)
-                yield from pool.map(_load_image, image_paths, chunksize=4)
+                yield from image_paths
                 if not loop:
                     return
+
+        # A deque of at most ~2*num_workers in-flight futures: decodes run
+        # ahead of the consumer (PIL releases the GIL in zlib) but never
+        # accumulate a whole epoch of float32 images in memory, and
+        # abandoning the generator leaves only the small window to drain.
+        window = max(2, 2 * num_workers)
+        with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+            futures: collections.deque = collections.deque()
+            stream = path_stream()
+            try:
+                for p in stream:
+                    futures.append(pool.submit(_load_image, p))
+                    if len(futures) >= window:
+                        yield futures.popleft().result()
+                while futures:
+                    yield futures.popleft().result()
+            finally:
+                for f in futures:
+                    f.cancel()
+        return
 
     while True:
         for p in npy_paths:

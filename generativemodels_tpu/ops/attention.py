@@ -30,6 +30,36 @@ def _on_tpu() -> bool:
         return False
 
 
+# widest head the Pallas kernel dispatches for. The kernel itself is
+# d-generic (block specs carry d through), but on-chip at the zoo-bundle
+# head widths (d=512/768, seq 1400: benchmarks/results_attention.json
+# "bundle_*" rows) the fused-XLA einsum path wins, so auto-dispatch keeps
+# them there; `use_flash=True` still forces the kernel at any width.
+_FLASH_MAX_HEAD_DIM = 256
+
+
+def resolve_use_flash(
+    seq: int,
+    head_dim: int,
+    use_flash: bool | None = None,
+    has_mask: bool = False,
+    on_tpu: bool | None = None,
+) -> bool:
+    """The flash/einsum dispatch decision, exposed for tests and docs.
+
+    Masked calls (KV-cache decoding) always take the einsum path; an
+    explicit `use_flash` wins otherwise; auto-dispatch requires TPU,
+    seq >= _FLASH_MIN_SEQ and head_dim <= _FLASH_MAX_HEAD_DIM.
+    """
+    if has_mask:
+        return False
+    if use_flash is not None:
+        return use_flash
+    if on_tpu is None:
+        on_tpu = _on_tpu()
+    return on_tpu and seq >= _FLASH_MIN_SEQ and head_dim <= _FLASH_MAX_HEAD_DIM
+
+
 def _pick_blocks(seq: int, head_dim: int) -> tuple[int, int]:
     """(block_q, block_k) by shape, from the on-chip sweep
     (benchmarks/sweep_flash_blocks.py -> results_flash_sweep.json).
@@ -65,10 +95,13 @@ def dot_product_attention(
         num_heads: number of attention heads H (inner_dim = H * D).
         scale: softmax scale; defaults to 1/sqrt(D).
         causal: lower-triangular mask (autoregressive decoding).
-        upcast: force fp32 scores on the einsum path (reference
-            `upcast_attention` flag). The flash path already keeps the
-            scores/softmax state in f32 by construction, which satisfies
-            the flag's stability purpose, so it does not force einsum.
+        upcast: reference `upcast_attention` flag: f32 operands for the
+            score matmul. On the einsum path q/k are cast to f32; on the
+            flash path the flag is threaded into the kernel, which then
+            runs its MXU matmuls on f32 operands (~4x slower for bf16
+            models — the f32 softmax state alone already covers the
+            flag's stability purpose, but operand rounding is part of
+            the reference contract, so the flag forces it).
         use_flash: True forces the Pallas kernel, False forces einsum,
             None auto-selects (TPU and long sequences).
         mask: optional boolean key mask, broadcastable to (B, Sq, Sk)
@@ -83,10 +116,7 @@ def dot_product_attention(
     if scale is None:
         scale = 1.0 / (head_dim**0.5)
 
-    if mask is not None:
-        use_flash = False
-    if use_flash is None:
-        use_flash = _on_tpu() and sq >= _FLASH_MIN_SEQ and head_dim <= 256
+    use_flash = resolve_use_flash(sq, head_dim, use_flash, has_mask=mask is not None)
 
     qh = q.reshape(b, sq, num_heads, head_dim)
     kh = k.reshape(b, sk, num_heads, head_dim)
@@ -99,7 +129,8 @@ def dot_product_attention(
         block_q, block_k = _pick_blocks(sq, head_dim)
         out = flash_attention(
             qf, kf, vf, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k, interpret=not _on_tpu()
+            block_q=block_q, block_k=block_k, interpret=not _on_tpu(),
+            upcast=upcast,
         )
         out = out.reshape(b, num_heads, sq, head_dim).transpose(0, 2, 1, 3)
         return out.reshape(b, sq, inner)

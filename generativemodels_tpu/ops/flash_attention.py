@@ -42,8 +42,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _mm_dtype(dtype) -> jnp.dtype:
-    """Matmul operand dtype: keep bf16 on the MXU, everything else f32."""
+def _mm_dtype(dtype, upcast: bool = False) -> jnp.dtype:
+    """Matmul operand dtype: keep bf16 on the MXU, everything else f32.
+
+    `upcast=True` forces f32 operands, matching the reference
+    `upcast_attention` contract (operands cast to f32 *before* the score
+    matmul — diffusion_model_unet.py:137-154) at ~4x MXU throughput cost.
+    """
+    if upcast:
+        return jnp.float32
     return jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
 
@@ -92,7 +99,7 @@ def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, scale, causal, kv_len, block_q, block_k,
+    *, scale, causal, kv_len, block_q, block_k, upcast=False,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -104,7 +111,7 @@ def _fwd_kernel(
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    mm = _mm_dtype(q_ref.dtype)
+    mm = _mm_dtype(q_ref.dtype, upcast)
     q = q_ref[0].astype(mm)
     k = k_ref[0].astype(mm)
     v = v_ref[0].astype(mm)
@@ -159,7 +166,7 @@ def _dq_tile(q, k, v, do, lse, delta, qi, kj, acc_ref, *, scale, causal,
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
-    *, scale, causal, kv_len, block_q, block_k,
+    *, scale, causal, kv_len, block_q, block_k, upcast=False,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -169,7 +176,7 @@ def _dq_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    mm = _mm_dtype(q_ref.dtype)
+    mm = _mm_dtype(q_ref.dtype, upcast)
     q = q_ref[0].astype(mm)
     k = k_ref[0].astype(mm)
     v = v_ref[0].astype(mm)
@@ -228,7 +235,7 @@ def _dkv_tile(q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref, *,
 def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_acc_ref, dv_acc_ref,
-    *, scale, causal, kv_len, block_q, block_k,
+    *, scale, causal, kv_len, block_q, block_k, upcast=False,
 ):
     kj = pl.program_id(1)
     qi = pl.program_id(2)
@@ -239,7 +246,7 @@ def _dkv_kernel(
         dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
         dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
 
-    mm = _mm_dtype(q_ref.dtype)
+    mm = _mm_dtype(q_ref.dtype, upcast)
     q = q_ref[0].astype(mm)
     k = k_ref[0].astype(mm)
     v = v_ref[0].astype(mm)
@@ -282,13 +289,13 @@ def _pad_seq(x, target):
     return x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, scale, causal, block_q, block_k, interpret):
-    out, _ = _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast):
+    out, _ = _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast)
     return out
 
 
-def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret):
+def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=False):
     bh, sq, d = q.shape
     sk = k.shape[1]
     sq_p = _round_up(sq, block_q)
@@ -298,7 +305,7 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret):
     grid = (bh, sq_p // block_q, sk_p // block_k)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, kv_len=sk, block_q=block_q,
-        block_k=block_k,
+        block_k=block_k, upcast=upcast,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -329,11 +336,11 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret):
     return out[:, :sq], (q, k, v, out[:, :sq], lse)
 
 
-def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret):
-    return _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret)
+def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret, upcast):
+    return _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, interpret, res, dout):
+def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, res, dout):
     q, k, v, out, lse = res
     bh, sq, d = q.shape
     sk = k.shape[1]
@@ -348,7 +355,8 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, res, dout):
     dop = _pad_seq(dout, sq_p)
     kp, vp = _pad_seq(k, sk_p), _pad_seq(v, sk_p)
 
-    common = dict(scale=scale, causal=causal, kv_len=sk, block_q=block_q, block_k=block_k)
+    common = dict(scale=scale, causal=causal, kv_len=sk, block_q=block_q,
+                  block_k=block_k, upcast=upcast)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
@@ -415,6 +423,7 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 1024,
     interpret: bool = False,
+    upcast: bool = False,
 ) -> jnp.ndarray:
     """Differentiable flash attention over (BH, S, D) tensors.
 
@@ -425,6 +434,8 @@ def flash_attention(
         scale: softmax temperature (typically 1/sqrt(D)).
         causal: lower-triangular masking.
         interpret: run kernels in interpreter mode (CPU testing).
+        upcast: force f32 matmul operands (reference `upcast_attention`
+            operand semantics; ~4x slower on the MXU for bf16 inputs).
 
     Returns:
         (BH, Sq, D) attention output in q.dtype.
@@ -432,4 +443,4 @@ def flash_attention(
     sq, sk = q.shape[1], k.shape[1]
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
-    return _flash(q, k, v, scale, causal, block_q, block_k, interpret)
+    return _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast)

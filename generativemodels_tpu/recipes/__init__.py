@@ -11,6 +11,7 @@ from .train_spade_vae import SPADEVAEState, make_spade_vae_step
 from .segmentation_ddpm import make_segmentation_train_step, segment_with_uncertainty
 from .eval_quality import evaluate_quality, make_feature_extractor, ms_ssim_weights_for
 from .super_resolution import compute_scale_factor, prepare_sr_batch, sample_super_resolution
+from .train_3d_ddpm import synthetic_volume
 
 __all__ = [
     "SemanticEncoder",
@@ -42,4 +43,5 @@ __all__ = [
     "evaluate_quality",
     "make_feature_extractor",
     "ms_ssim_weights_for",
+    "synthetic_volume",
 ]

@@ -94,21 +94,49 @@ def evaluate_quality(
     return {"fid": fid, "ms_ssim_diversity": diversity}
 
 
+# Pre-registered eval preset (docs/BASELINE_CONFIGS.md "Pre-registered
+# quality evals"): the exact MedNIST 2D-DDPM tutorial config
+# (reference tutorials/generative/2d_ddpm/2d_ddpm_tutorial.py:127-201 —
+# UNet(128,256,256) attn (F,T,T) heads 256, b128, lr 2.5e-5, T=1000,
+# 75 epochs x ~370 steps ~= 28k steps). With MedNIST at --data-dir and
+# pretrained --fid-weights, `fid` and `ms_ssim_diversity` are the
+# numbers to compare against a same-protocol run of the reference.
+PRESETS: dict[str, dict] = {
+    "mednist_2d_ddpm": dict(
+        batch=128, size=64, channels=[128, 256, 256], norm_groups=32,
+        lr=2.5e-5, train_steps=28000, sample_count=1000, sample_batch=100,
+        ddim_steps=50,
+    ),
+}
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--train-steps", type=int, default=200)
-    parser.add_argument("--batch", type=int, default=64)
-    parser.add_argument("--size", type=int, default=64)
-    parser.add_argument("--channels", type=int, nargs="+", default=[64, 128, 128])
-    parser.add_argument("--norm-groups", type=int, default=32)
-    parser.add_argument("--lr", type=float, default=2.5e-5)
-    parser.add_argument("--sample-count", type=int, default=64)
-    parser.add_argument("--sample-batch", type=int, default=32)
-    parser.add_argument("--ddim-steps", type=int, default=50)
+    parser.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                        help="pin a pre-registered eval config; explicit "
+                        "flags still override")
+    parser.add_argument("--train-steps", type=int, default=None)
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--size", type=int, default=None)
+    parser.add_argument("--channels", type=int, nargs="+", default=None)
+    parser.add_argument("--norm-groups", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--sample-count", type=int, default=None)
+    parser.add_argument("--sample-batch", type=int, default=None)
+    parser.add_argument("--ddim-steps", type=int, default=None)
     parser.add_argument("--data-dir", type=str, default=None)
     parser.add_argument("--fid-weights", type=str, default=None)
     parser.add_argument("--out", type=str, default="quality_results.json")
     args = parser.parse_args()
+
+    defaults = dict(train_steps=200, batch=64, size=64, channels=[64, 128, 128],
+                    norm_groups=32, lr=2.5e-5, sample_count=64, sample_batch=32,
+                    ddim_steps=50)
+    if args.preset:
+        defaults.update(PRESETS[args.preset])
+    for k, v in defaults.items():
+        if getattr(args, k) is None:
+            setattr(args, k, v)
 
     model = DiffusionModelUNet(
         spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
@@ -174,6 +202,7 @@ def main() -> None:
 
     metrics = evaluate_quality(real, samples, fid_weights=args.fid_weights)
     result = {
+        "preset": args.preset,
         "config": f"2D DDPM {tuple(args.channels)} b{args.batch} {args.size}px "
                   f"T=1000 DDIM-{args.ddim_steps}",
         "data": args.data_dir or "synthetic blobs",

@@ -1,0 +1,167 @@
+"""Runnable 3D DDPM training recipe (BraTS-tutorial equivalent).
+
+Reference parity: tutorials/generative/3d_ddpm/3d_ddpm_tutorial.py (model
+config :158-167, training loop :196-240, sampling :262-274) rebuilt
+TPU-first: bf16 compute with block rematerialisation, the depth-decomposed
+3D convolutions (networks/blocks/convolutions.py), one jitted donated
+train step, and a scan-compiled sampling loop. The reference needs ~21 GB
+GPU at batch 8 on *downsampled* BraTS (:109); with `--size 128 --batch 1
+--dtype bf16` this trains full 128 cubed on a single 16 GB v5e chip
+(benchmarks/results_3d_train.json: 2.88 steps/s).
+
+Runs on synthetic 3D blobs by default; pass `--data-dir` with .nii/.nii.gz
+volumes (streamed by the native C++ NIfTI loader) or .npy arrays.
+
+Usage:
+    python -m generativemodels_tpu.recipes.train_3d_ddpm --steps 100
+    python -m generativemodels_tpu.recipes.train_3d_ddpm \
+        --size 128 --batch 1 --channels 32 64 128 --data-dir /data/brats
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..inferers import DiffusionInferer
+from ..networks.nets import DiffusionModelUNet
+from ..networks.schedulers import DDIMScheduler, DDPMScheduler
+from ..parallel import (
+    create_mesh,
+    init_train_state,
+    make_diffusion_train_step,
+    shard_batch,
+    shard_params,
+)
+from ..utils import CheckpointManager, StepTimer
+
+
+def synthetic_volume(key, batch: int, size: int) -> jnp.ndarray:
+    """Random 3D blob volumes in [0, 1] (stand-in for BraTS)."""
+    k1, k2 = jax.random.split(key)
+    axes = jnp.linspace(-1, 1, size)
+    xyz = jnp.stack(jnp.meshgrid(axes, axes, axes, indexing="ij"), -1)
+    centers = jax.random.uniform(k1, (batch, 1, 1, 1, 3), minval=-0.4, maxval=0.4)
+    radii = jax.random.uniform(k2, (batch, 1, 1, 1), minval=0.3, maxval=0.7)
+    d = jnp.linalg.norm(xyz[None] - centers, axis=-1)
+    return jnp.clip(1.0 - d / radii, 0, 1)[:, None]
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--size", type=int, default=64,
+                        help="cubic volume edge; 128 fits one 16 GB v5e at batch 1")
+    parser.add_argument("--lr", type=float, default=5e-5,
+                        help="reference 3d_ddpm_tutorial.py:188")
+    parser.add_argument("--channels", type=int, nargs="+", default=[32, 64, 128],
+                        help="per-level channels; the reference tutorial uses "
+                        "256 256 512 on downsampled volumes")
+    parser.add_argument("--num-res-blocks", type=int, default=1)
+    parser.add_argument("--norm-groups", type=int, default=32)
+    parser.add_argument("--head-channels", type=int, default=64)
+    parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    parser.add_argument("--no-remat", action="store_true",
+                        help="disable block rematerialisation (needs more HBM)")
+    parser.add_argument("--prediction-type", choices=["epsilon", "v_prediction"],
+                        default="epsilon")
+    parser.add_argument("--data-parallel", action="store_true")
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help=".nii/.nii.gz/.npy volume directory; synthetic blobs if omitted")
+    parser.add_argument("--checkpoint-dir", type=str, default=None)
+    parser.add_argument("--sample", action="store_true", help="sample after training")
+    parser.add_argument("--sample-steps", type=int, default=50,
+                        help="DDIM steps for the post-training sample")
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+
+    model = DiffusionModelUNet(
+        spatial_dims=3, in_channels=1, out_channels=1,
+        num_res_blocks=args.num_res_blocks,
+        num_channels=tuple(args.channels),
+        attention_levels=(False,) * (len(args.channels) - 1) + (True,),
+        num_head_channels=args.head_channels,
+        norm_num_groups=args.norm_groups,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else None,
+        use_checkpointing=not args.no_remat,
+    )
+    scheduler = DDPMScheduler(
+        num_train_timesteps=1000, prediction_type=args.prediction_type
+    )
+    tx = optax.adam(args.lr)
+
+    x0 = jnp.zeros((args.batch, 1, args.size, args.size, args.size))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x0, jnp.zeros((args.batch,), jnp.int32)
+    )
+    apply = lambda p, x, t: model.apply({"params": p}, x, t)
+
+    mesh = create_mesh({"data": jax.device_count()}) if args.data_parallel else None
+    step = make_diffusion_train_step(
+        apply, scheduler, tx, mesh=mesh, prediction_target=args.prediction_type
+    )
+    params = shard_params(variables["params"], mesh) if mesh else variables["params"]
+    state = init_train_state(params, tx)
+
+    mgr = CheckpointManager(args.checkpoint_dir) if args.checkpoint_dir else None
+    timer = StepTimer(warmup=2)
+    rng = jax.random.PRNGKey(42)
+
+    data_iter = None
+    if args.data_dir:
+        from ..data import batched, file_dataset, prefetch_to_device
+
+        shape = (args.batch, 1, args.size, args.size, args.size)
+        source = batched(file_dataset(args.data_dir), args.batch)
+        data_iter = prefetch_to_device(
+            (jnp.asarray(b, jnp.float32).reshape(shape) for b in source), size=2
+        )
+
+    for i in range(args.steps):
+        rng, k_data, k_step = jax.random.split(rng, 3)
+        if data_iter is not None:
+            images = next(data_iter) * 2 - 1
+        else:
+            images = synthetic_volume(k_data, args.batch, args.size) * 2 - 1
+        if mesh:
+            images = shard_batch(images, mesh)
+        state, loss = step(state, images, k_step)
+        timer.tick()
+        if (i + 1) % 20 == 0:
+            sps = timer.steps_per_sec
+            print(f"step {i + 1}/{args.steps} loss={float(loss):.4f}"
+                  + (f" {sps:.2f} steps/s" if sps else ""))
+
+    if mgr:
+        mgr.save(int(state.step), {"params": state.params, "step": state.step})
+        print(f"checkpoint saved at step {int(state.step)}")
+
+    if args.sample:
+        ddim = DDIMScheduler(num_train_timesteps=1000)
+        ddim.set_timesteps(args.sample_steps)
+        inferer = DiffusionInferer(ddim)
+        fn = lambda x, t, context=None: apply(state.params, x, t)
+        t0 = time.time()
+        img = inferer.sample(
+            jax.random.normal(
+                jax.random.PRNGKey(7), (1, 1, args.size, args.size, args.size)
+            ),
+            fn,
+            key=jax.random.PRNGKey(8),
+        )
+        img.block_until_ready()
+        print(f"DDIM-{args.sample_steps} sample in {time.time() - t0:.1f}s, "
+              f"range [{float(img.min()):.3f}, {float(img.max()):.3f}]")
+
+    return state
+
+
+if __name__ == "__main__":
+    main()

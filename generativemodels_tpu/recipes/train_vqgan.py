@@ -1,10 +1,15 @@
-"""2D VQ-GAN training recipe (VQVAE + PatchGAN adversarial + feature matching).
+"""VQ-GAN training recipe (VQVAE + PatchGAN adversarial + feature matching).
 
 Reference parity: tutorials/generative/2d_vqgan/2d_vqgan_tutorial.py — a
 VQVAE trained with L1 reconstruction + quantization loss + adversarial loss
 against a PatchDiscriminator, with a reconstruction-only warm-up. We add the
 Pix2PixHD feature-matching term the reference's PatchDiscriminator exposes
 its intermediates for (patchgan_discriminator.py:269-283).
+
+`--spatial-dims 3` trains on volumes (depth-decomposed convs); with
+`--adv-weight 0` that is the reconstruction-only 3D VQ-VAE tutorial
+(tutorials/generative/3d_vqvae/3d_vqvae_tutorial.py:129-143, which trains
+with plain L1 + quantization, no discriminator).
 
 TPU-first: one fused jitted step updates G (including the EMA codebook
 collection) and D in a single XLA program; the EMA codebook update is a
@@ -119,31 +124,38 @@ def make_vqgan_step(
     return step
 
 
-def main() -> None:
+def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--warmup-steps", type=int, default=10)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--size", type=int, default=64)
-    parser.add_argument("--adv-weight", type=float, default=0.01)
+    parser.add_argument("--spatial-dims", type=int, choices=[2, 3], default=2)
+    parser.add_argument("--channels", type=int, nargs="+", default=None,
+                        help="per-level channels (default: 128 256 for 2D, "
+                        "reference 3d_vqvae uses 256 256)")
+    parser.add_argument("--adv-weight", type=float, default=0.01,
+                        help="0 disables the GAN term (3d_vqvae tutorial)")
     parser.add_argument("--fm-weight", type=float, default=1.0)
     parser.add_argument("--data-dir", type=str, default=None,
                         help="directory of .nii/.nii.gz/.npy images (native loader); synthetic blobs otherwise")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
+    nd = args.spatial_dims
+    channels = tuple(args.channels) if args.channels else (128, 256)
     vqvae = VQVAE(
-        spatial_dims=2, in_channels=1, out_channels=1,
-        num_channels=(128, 256), num_res_layers=2, num_res_channels=(128, 256),
-        downsample_parameters=((2, 4, 1, 1), (2, 4, 1, 1)),
-        upsample_parameters=((2, 4, 1, 1, 0), (2, 4, 1, 1, 0)),
+        spatial_dims=nd, in_channels=1, out_channels=1,
+        num_channels=channels, num_res_layers=2, num_res_channels=channels,
+        downsample_parameters=((2, 4, 1, 1),) * len(channels),
+        upsample_parameters=((2, 4, 1, 1, 0),) * len(channels),
         num_embeddings=256, embedding_dim=32,
     )
     disc = PatchDiscriminator(
-        spatial_dims=2, num_channels=64, in_channels=1, num_layers_d=3,
+        spatial_dims=nd, num_channels=64, in_channels=1, num_layers_d=3,
         norm="INSTANCE",
     )
 
-    x0 = jnp.zeros((args.batch, 1, args.size, args.size))
+    x0 = jnp.zeros((args.batch, 1) + (args.size,) * nd)
     g_vars = jax.jit(vqvae.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), x0, train=False
     )
@@ -168,17 +180,24 @@ def main() -> None:
     if args.data_dir:
         from ..data import batched, file_dataset, prefetch_to_device
 
+        shape = (args.batch, 1) + (args.size,) * nd
         source = batched(file_dataset(args.data_dir), args.batch)
         data_iter = prefetch_to_device(
-            (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
-             for b in source),
+            (jnp.asarray(b, jnp.float32).reshape(shape) for b in source),
             size=2,
         )
+
+    def synth(key):
+        if nd == 3:
+            from .train_3d_ddpm import synthetic_volume
+
+            return synthetic_volume(key, args.batch, args.size)
+        return synthetic_batch(key, args.batch, args.size)
 
     rng = jax.random.PRNGKey(42)
     for i in range(args.steps):
         rng, k = jax.random.split(rng)
-        images = next(data_iter) if data_iter is not None else synthetic_batch(k, args.batch, args.size)
+        images = next(data_iter) if data_iter is not None else synth(k)
         step_fn = warm if i < args.warmup_steps else full
         state, out = step_fn(state, images)
         if (i + 1) % 10 == 0:

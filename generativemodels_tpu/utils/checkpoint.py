@@ -61,3 +61,28 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._manager.close()
+
+
+def migrate_legacy_conv_params(params: Any) -> Any:
+    """Remap a round-1 checkpoint's conv params to the current tree.
+
+    Round 2 made ConvND/ConvTransposeND own their kernel/bias directly,
+    flattening `.../conv/Conv_0/kernel` to `.../conv/kernel` (same for
+    `ConvTranspose_0`). This strips that one nesting level from an old
+    params pytree so round-1 checkpoints load into current models.
+    """
+    if not isinstance(params, dict):
+        return params
+    out = {}
+    for key, value in params.items():
+        value = migrate_legacy_conv_params(value)
+        if (
+            isinstance(value, dict)
+            and set(value) <= {"Conv_0", "ConvTranspose_0"}
+            and len(value) == 1
+        ):
+            inner = next(iter(value.values()))
+            if isinstance(inner, dict) and set(inner) <= {"kernel", "bias"}:
+                value = inner
+        out[key] = value
+    return out

@@ -427,3 +427,33 @@ class TestVQGANResume:
         for a, b in zip(jax.tree_util.tree_leaves(uninterrupted),
                         jax.tree_util.tree_leaves(resumed)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLegacyConvMigration:
+    def test_strips_conv0_level(self):
+        import numpy as np
+
+        from generativemodels_tpu.utils.checkpoint import migrate_legacy_conv_params
+
+        k = np.ones((3, 3, 4, 8), np.float32)
+        b = np.zeros((8,), np.float32)
+        old = {
+            "params": {
+                "conv_in": {"Conv_0": {"kernel": k, "bias": b}},
+                "up": {"tconv": {"ConvTranspose_0": {"kernel": k}}},
+                "norm": {"scale": b},  # untouched
+            }
+        }
+        new = migrate_legacy_conv_params(old)
+        assert new["params"]["conv_in"]["kernel"] is k
+        assert new["params"]["conv_in"]["bias"] is b
+        assert new["params"]["up"]["tconv"]["kernel"] is k
+        assert new["params"]["norm"]["scale"] is b
+
+    def test_leaves_modern_trees_alone(self):
+        import numpy as np
+
+        from generativemodels_tpu.utils.checkpoint import migrate_legacy_conv_params
+
+        modern = {"conv": {"kernel": np.ones((3, 3, 1, 1)), "bias": np.zeros(1)}}
+        assert migrate_legacy_conv_params(modern) == modern

@@ -120,6 +120,36 @@ class TestPipeline:
         b = next(batched(file_dataset(str(tmp_path), loop=True), 4))
         assert b.shape == (4, 8, 8)
 
+    def test_image_normalization_uses_dtype_range(self, tmp_path):
+        """Near-black uint8 and 16-bit images both scale by the dtype max."""
+        from PIL import Image
+
+        from generativemodels_tpu.data import file_dataset
+
+        Image.fromarray(np.full((4, 4), 1, np.uint8)).save(tmp_path / "a_dark.png")
+        Image.fromarray(np.full((4, 4), 65535, np.uint16), mode="I;16").save(
+            tmp_path / "b_wide.png"
+        )
+        dark, wide = list(file_dataset(str(tmp_path), loop=False))
+        assert abs(float(dark[0, 0]) - 1 / 255) < 1e-6
+        assert abs(float(wide[0, 0]) - 1.0) < 1e-6
+
+    def test_image_stream_bounded_and_abandonable(self, tmp_path):
+        """A looping image stream yields promptly and can be abandoned
+        without draining an epoch of queued decodes (ADVICE round 2)."""
+        from PIL import Image
+
+        from generativemodels_tpu.data import file_dataset
+
+        for i in range(32):
+            Image.fromarray(np.full((4, 4), i, np.uint8)).save(
+                tmp_path / f"img_{i:02d}.png"
+            )
+        it = file_dataset(str(tmp_path), num_workers=2, loop=True)
+        got = [next(it) for _ in range(5)]
+        assert all(a.shape == (4, 4) for a in got)
+        it.close()  # must return promptly (only the small window drains)
+
     def test_missing_dir(self):
         from generativemodels_tpu.data import file_dataset
 

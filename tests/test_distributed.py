@@ -58,3 +58,92 @@ print(json.dumps({"rank": rank, "total": float(jnp.sum(out.addressable_data(0)))
         outs = run_distributed(body, num_processes=2)
         # 8 latent vectors total (4 per process), decay 0.5 -> sum = 8 * 0.5
         assert all(abs(o["total"] - 4.0) < 1e-5 for o in outs)
+
+    def test_cross_process_diffusion_train_step(self):
+        """A 2-process sharded diffusion train step produces the same
+        updated params as the single-device step on the full batch
+        (VERDICT round-2 item 6; reference surface: tutorials/generative/
+        distributed_training/ddpm_training_ddp.py:249-268)."""
+        body = """
+import jax, jax.numpy as jnp, json, numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+import jax.experimental.multihost_utils as mh
+import sys; sys.path.insert(0, "/root/repo")
+import optax
+from generativemodels_tpu.networks.nets import DiffusionModelUNet
+from generativemodels_tpu.networks.schedulers import DDPMScheduler
+from generativemodels_tpu.parallel import (
+    create_mesh, init_train_state, make_diffusion_train_step)
+
+rank = jax.process_index()
+model = DiffusionModelUNet(
+    spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+    num_channels=(8, 8), attention_levels=(False, False),
+    norm_num_groups=8, num_head_channels=8)
+x0 = jnp.zeros((4, 1, 8, 8))
+variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0, jnp.zeros((4,), jnp.int32))
+scheduler = DDPMScheduler(num_train_timesteps=100)
+tx = optax.adam(1e-3)
+apply = lambda p, x, t: model.apply({"params": p}, x, t)
+
+full = np.random.RandomState(7).rand(4, 1, 8, 8).astype(np.float32)
+rng = jax.random.PRNGKey(3)
+
+# single-device reference on the full batch (no mesh)
+step1 = make_diffusion_train_step(apply, scheduler, tx, donate=False)
+s1 = init_train_state(variables["params"], tx)
+s1, loss1 = step1(s1, jnp.asarray(full), rng)
+ref_norm = float(sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(s1.params)))
+
+# 2-process sharded step: each process feeds its local half
+mesh = Mesh(np.array(jax.devices()), ("data",))
+stepN = make_diffusion_train_step(apply, scheduler, tx, mesh=mesh, donate=False)
+local = jnp.asarray(full[rank * 2:(rank + 1) * 2])
+gbatch = mh.host_local_array_to_global_array(local, mesh, P("data"))
+sN = init_train_state(variables["params"], tx)
+with mesh:
+    sN, lossN = stepN(sN, gbatch, rng)
+shard_norm = float(sum(float(jnp.sum(jnp.abs(l.addressable_data(0))))
+                       for l in jax.tree_util.tree_leaves(sN.params)))
+print(json.dumps({"rank": rank, "ref": ref_norm, "sharded": shard_norm,
+                  "loss_diff": abs(float(loss1) - float(jax.device_get(lossN)))}))
+"""
+        outs = run_distributed(body, num_processes=2, timeout=240)
+        for o in outs:
+            assert o["loss_diff"] < 1e-6
+            assert abs(o["ref"] - o["sharded"]) / max(abs(o["ref"]), 1e-9) < 1e-6
+
+    def test_cross_process_orbax_checkpoint(self, tmp_path):
+        """Orbax save/restore across 2 coordinated processes."""
+        import os
+
+        ckpt_dir = str(tmp_path / "ckpt")
+        os.environ["GMTPU_CKPT_DIR"] = ckpt_dir
+        try:
+            body = """
+import os, json
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+import jax.experimental.multihost_utils as mh
+import sys; sys.path.insert(0, "/root/repo")
+from generativemodels_tpu.utils import CheckpointManager
+
+rank = jax.process_index()
+mesh = Mesh(np.array(jax.devices()), ("data",))
+# Orbax multiprocess saving requires process-replicated *global* arrays
+to_global = lambda x: mh.host_local_array_to_global_array(x, mesh, P())
+state = {"w": to_global(jnp.arange(8, dtype=jnp.float32) * 2.0),
+         "step": to_global(jnp.asarray(5))}
+mgr = CheckpointManager(os.environ["GMTPU_CKPT_DIR"], max_to_keep=1)
+mgr.save(5, state, force=True)
+restored = mgr.restore(template=state)
+mgr.close()
+w = np.asarray(restored["w"].addressable_data(0))
+step = int(np.asarray(restored["step"].addressable_data(0)))
+ok = np.allclose(w, np.arange(8) * 2.0) and step == 5
+print(json.dumps({"rank": rank, "ok": bool(ok)}))
+"""
+            outs = run_distributed(body, num_processes=2, timeout=240)
+            assert all(o["ok"] for o in outs)
+        finally:
+            os.environ.pop("GMTPU_CKPT_DIR", None)

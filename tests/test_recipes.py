@@ -308,3 +308,131 @@ class TestEvalQualityUnits:
         near = evaluate_quality(a, b)
         far = evaluate_quality(a, jnp.clip(b + 0.7, 0, 1))
         assert far["fid"] > near["fid"]
+
+
+class TestRecipeMains3D:
+    """The four 3D tutorial families (VERDICT round 2 item 2) at tiny scale.
+
+    Reference surfaces: tutorials/generative/3d_ddpm/3d_ddpm_tutorial.py,
+    3d_ldm/3d_ldm_tutorial.py, 3d_autoencoderkl/, 3d_vqvae/.
+    """
+
+    def _run(self, module, argv):
+        import sys
+        from unittest import mock
+
+        with mock.patch.object(sys, "argv", ["prog"] + argv):
+            return module.main()
+
+    def test_train_3d_ddpm_main(self):
+        from generativemodels_tpu.recipes import train_3d_ddpm
+
+        self._run(train_3d_ddpm, [
+            "--steps", "2", "--batch", "2", "--size", "16",
+            "--channels", "8", "8", "--norm-groups", "8",
+            "--head-channels", "8", "--dtype", "f32",
+            "--sample", "--sample-steps", "2",
+        ])
+
+    def test_train_3d_ddpm_decomposed_convs(self, monkeypatch):
+        """The recipe runs with the depth-decomposed conv lowering forced
+        (the path the TPU takes by default)."""
+        from generativemodels_tpu.recipes import train_3d_ddpm
+
+        monkeypatch.setenv("GMTPU_DECOMPOSE_3D", "always")
+        self._run(train_3d_ddpm, [
+            "--steps", "1", "--batch", "1", "--size", "16",
+            "--channels", "8", "8", "--norm-groups", "8",
+            "--head-channels", "8", "--dtype", "f32", "--no-remat",
+        ])
+
+    def test_train_3d_ddpm_nifti_data_dir(self, tmp_path):
+        """--data-dir streams .npy volumes through the data pipeline."""
+        import numpy as np
+
+        from generativemodels_tpu.recipes import train_3d_ddpm
+
+        for i in range(4):
+            np.save(tmp_path / f"vol_{i}.npy",
+                    np.random.RandomState(i).rand(16, 16, 16).astype(np.float32))
+        self._run(train_3d_ddpm, [
+            "--steps", "2", "--batch", "2", "--size", "16",
+            "--channels", "8", "8", "--norm-groups", "8",
+            "--head-channels", "8", "--dtype", "f32",
+            "--data-dir", str(tmp_path),
+        ])
+
+    def test_train_3d_ldm_main(self):
+        from generativemodels_tpu.recipes import train_3d_ldm
+
+        self._run(train_3d_ldm, [
+            "--stage1-steps", "2", "--stage2-steps", "2", "--warmup-steps", "1",
+            "--batch", "2", "--size", "16", "--sample", "--sample-steps", "2",
+        ])
+
+    def test_train_3d_ldm_stage1_only_is_autoencoderkl_tutorial(self):
+        from generativemodels_tpu.recipes import train_3d_ldm
+
+        state = self._run(train_3d_ldm, [
+            "--stage1-steps", "2", "--stage2-steps", "0", "--warmup-steps", "1",
+            "--batch", "1", "--size", "16",
+        ])
+        assert int(state.step) == 2
+
+    def test_train_vqgan_3d_recon_only(self):
+        """--spatial-dims 3 --adv-weight 0 = the 3d_vqvae tutorial family."""
+        from generativemodels_tpu.recipes import train_vqgan
+
+        self._run(train_vqgan, [
+            "--steps", "2", "--warmup-steps", "2", "--batch", "2",
+            "--size", "16", "--spatial-dims", "3", "--channels", "8", "8",
+            "--adv-weight", "0",
+        ])
+
+
+class TestQualityPresets:
+    """Pre-registered BASELINE quality evals (VERDICT round-2 item 5)."""
+
+    def test_eval_quality_preset_pins_tutorial_config(self):
+        from generativemodels_tpu.recipes.eval_quality import PRESETS
+
+        p = PRESETS["mednist_2d_ddpm"]
+        # exact reference tutorial values (2d_ddpm_tutorial.py:127-201)
+        assert p["channels"] == [128, 256, 256]
+        assert p["batch"] == 128 and p["lr"] == 2.5e-5
+        assert p["sample_count"] == 1000
+
+    def test_eval_quality_preset_overridable(self, tmp_path):
+        import json
+        import sys
+        from unittest import mock
+
+        from generativemodels_tpu.recipes import eval_quality
+
+        out = tmp_path / "q.json"
+        argv = ["prog", "--preset", "mednist_2d_ddpm",
+                "--train-steps", "2", "--batch", "4", "--size", "32",
+                "--channels", "8", "8", "--norm-groups", "8",
+                "--sample-count", "4", "--sample-batch", "4",
+                "--ddim-steps", "2", "--out", str(out)]
+        with mock.patch.object(sys, "argv", argv):
+            eval_quality.main()
+        result = json.loads(out.read_text())
+        assert result["preset"] == "mednist_2d_ddpm"
+        assert np.isfinite(result["fid"])
+
+    def test_eval_brain_ldm_tiny(self, tmp_path):
+        import json
+
+        from generativemodels_tpu.recipes import eval_brain_ldm
+
+        out = tmp_path / "brain.json"
+        result = eval_brain_ldm.main([
+            "--tiny", "--sample-count", "4", "--same-cond-pairs", "1",
+            "--ddim-steps", "2", "--dtype", "f32", "--out", str(out),
+        ])
+        assert result["plumbing_only"] is True
+        assert result["published_reference"]["msssim"] == 0.6555
+        assert -1.0 <= result["msssim"] <= 1.0
+        assert -1.0 <= result["msssim_4g"] <= 1.0
+        assert json.loads(out.read_text())["preset"].startswith("brain_3d_ldm")
