@@ -29,6 +29,9 @@ STEPS = 50
 
 
 def main() -> None:
+    if "--fused" in sys.argv:
+        # route interior 3D ResnetBlocks through the fused Pallas kernel
+        os.environ["GMTPU_FUSED_RESBLOCK"] = "1"
     model = DiffusionModelUNet(
         spatial_dims=3,
         in_channels=1,
@@ -74,7 +77,8 @@ def main() -> None:
         "seconds_per_sample": round(per_sample, 2),
         "ddim_steps": STEPS,
         "compile_s": round(compile_s, 1),
-        "config": "3D UNet(32,64,128) bf16, 128^3, DDIM-50",
+        "config": "3D UNet(32,64,128) bf16, 128^3, DDIM-50"
+                  + (" fused-resblock" if "--fused" in sys.argv else ""),
         "backend": jax.default_backend(),
     }))
 

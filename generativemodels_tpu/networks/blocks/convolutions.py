@@ -48,6 +48,34 @@ def _conv3d_via_2d(x, w, strides, pads):
     d_out = (d_in + 2 * pd - kd) // sd + 1
     pad2 = [(ph, ph), (pw, pw)]
 
+    if sd == 1:
+        # Unit depth stride: every tap convolves the SAME (unshifted)
+        # input, and the depth shift moves to the output accumulation,
+        # where XLA fuses the pad/slice into the add fusion. The
+        # input-side formulation below instead materialises a padded
+        # copy of the whole volume per boundary tap (the `%pad` ops at
+        # 2.5% of the 3D sampling profile, results_3d_hlo_profile.json).
+        dn = lax.conv_dimension_numbers(
+            (b * d_in, h, wd, cin), (kh, kw, cin, cout), ("NHWC", "HWIO", "NHWC")
+        )
+        xb = x.reshape(b * d_in, h, wd, cin)
+        y = None
+        for t in range(kd):
+            z = lax.conv_general_dilated(
+                xb, w[t], (sh, sw), pad2, dimension_numbers=dn
+            )
+            z = z.reshape(b, d_in, *z.shape[1:])
+            # y[do] += c_t[do + off] wherever that index is in range
+            off = t - pd
+            do_start = max(0, -off)
+            do_end = min(d_out, d_in - off)
+            z = z[:, do_start + off : do_end + off]
+            lo, hi = do_start, d_out - do_end
+            if lo or hi:
+                z = jnp.pad(z, ((0, 0), (lo, hi), (0, 0), (0, 0), (0, 0)))
+            y = z if y is None else y + z
+        return y
+
     y = None
     for t in range(kd):
         off = t - pd  # input depth index feeding output 0

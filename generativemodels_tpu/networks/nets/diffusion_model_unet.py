@@ -16,12 +16,15 @@ TPU-first design choices:
 """
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops import get_timestep_embedding
+from ...ops.fused_conv import fold_groupnorm_affine, fused_norm_silu_conv3d
 from ..blocks.attention_blocks import AttentionBlock, SpatialTransformer
 from ..blocks.convolutions import ConvND, avg_pool, upsample_nearest
 
@@ -107,12 +110,48 @@ class Upsample(nn.Module):
         return x
 
 
+class _RawParams(nn.Module):
+    """Declare a submodule's parameters without running its computation.
+
+    Used by the fused-ResnetBlock path to create a parameter tree
+    *identical* to the standard module path (same names, shapes and
+    initialisers as nn.GroupNorm / nn.Dense / ConvND), so checkpoints are
+    interchangeable between the two lowerings.
+    """
+
+    spec: tuple  # ((name, shape, init), ...) with init in {ones, zeros, lecun}
+
+    @nn.compact
+    def __call__(self):
+        inits = {
+            "ones": nn.initializers.ones,
+            "zeros": nn.initializers.zeros,
+            "lecun": nn.initializers.lecun_normal(),
+        }
+        return tuple(
+            self.param(n, inits[i], tuple(s), jnp.float32) for n, s, i in self.spec
+        )
+
+
+def _fused_resblock_enabled() -> bool:
+    """GMTPU_FUSED_RESBLOCK=1/always routes 3D interior ResnetBlocks
+    through the fused Pallas kernel (ops/fused_conv.py). Off by default:
+    the kernel targets the sampling loop; its backward falls back to an
+    XLA recompute, so training keeps the standard path."""
+    return os.environ.get("GMTPU_FUSED_RESBLOCK", "0") in ("1", "always")
+
+
 class ResnetBlock(nn.Module):
     """GroupNorm+SiLU conv block with additive timestep conditioning.
 
     norm1 -> silu -> [up/down] -> conv1 -> (+ time proj) -> norm2 -> silu ->
     conv2(zero-init) -> + skip(x). The second conv is zero-initialised so a
     fresh block is the identity (reference :644).
+
+    With GMTPU_FUSED_RESBLOCK=1 the 3D non-resampling case lowers through
+    `ops.fused_conv.fused_norm_silu_conv3d`: each GN-apply/SiLU chain,
+    the depth-tap conv accumulation and the bias/residual epilogue become
+    one Pallas pass (parameter tree unchanged — see _RawParams).
     """
 
     spatial_dims: int
@@ -128,6 +167,14 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         out_channels = self.out_channels or self.in_channels
+
+        if (
+            self.spatial_dims == 3
+            and not self.up
+            and not self.down
+            and _fused_resblock_enabled()
+        ):
+            return self._fused_call(x, emb, out_channels)
 
         h = nn.GroupNorm(
             num_groups=self.norm_num_groups, epsilon=self.norm_eps, dtype=self.dtype, name="norm1"
@@ -174,6 +221,56 @@ class ResnetBlock(nn.Module):
                 name="skip_connection",
             )(x)
         return skip + h
+
+    def _fused_call(self, x, emb, out_channels: int) -> jnp.ndarray:
+        """3D inference lowering via the fused Pallas kernel (one HBM pass
+        per GN/SiLU/conv chain). Same parameter tree as the module path."""
+        cin = x.shape[-1]
+        g = self.norm_num_groups
+        interpret = jax.default_backend() != "tpu"
+        dtype = self.dtype or x.dtype
+
+        (g1s, g1b) = _RawParams(
+            (("scale", (cin,), "ones"), ("bias", (cin,), "zeros")), name="norm1"
+        )()
+        (k1, b1) = _RawParams(
+            (("kernel", (3, 3, 3, cin, out_channels), "lecun"),
+             ("bias", (out_channels,), "zeros")), name="conv1"
+        )()
+        (tk, tb) = _RawParams(
+            (("kernel", (emb.shape[-1], out_channels), "lecun"),
+             ("bias", (out_channels,), "zeros")), name="time_emb_proj"
+        )()
+        (g2s, g2b) = _RawParams(
+            (("scale", (out_channels,), "ones"),
+             ("bias", (out_channels,), "zeros")), name="norm2"
+        )()
+        (k2, b2) = _RawParams(
+            (("kernel", (3, 3, 3, out_channels, out_channels), "zeros"),
+             ("bias", (out_channels,), "zeros")), name="conv2"
+        )()
+
+        x = x.astype(dtype)
+        s1, t1 = fold_groupnorm_affine(x, g1s, g1b, g, self.norm_eps)
+        h = fused_norm_silu_conv3d(
+            x, k1.astype(dtype), s1, t1, bias=b1, interpret=interpret
+        )
+
+        temb = jnp.dot(nn.silu(emb.astype(jnp.float32)), tk) + tb  # (B, C)
+
+        if out_channels == cin:
+            skip = x
+        else:
+            skip = ConvND(
+                self.spatial_dims, out_channels, kernel_size=1,
+                dtype=self.dtype, name="skip_connection",
+            )(x)
+
+        s2, t2 = fold_groupnorm_affine(h, g2s, g2b, g, self.norm_eps, temb=temb)
+        return fused_norm_silu_conv3d(
+            h, k2.astype(dtype), s2, t2, bias=b2,
+            residual=skip.astype(dtype), interpret=interpret,
+        )
 
 
 class DownBlock(nn.Module):

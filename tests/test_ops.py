@@ -312,3 +312,88 @@ class TestFlashDispatchEnvelope:
         a = dot_product_attention(q, k, v, num_heads=1, use_flash=True)
         b = dot_product_attention(q, k, v, num_heads=1, use_flash=False, upcast=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+class TestFusedNormSiluConv3d:
+    """Fused GN/SiLU/conv/residual Pallas kernel (ops/fused_conv.py),
+    interpret mode. Reference op chain: generative/networks/nets/
+    diffusion_model_unet.py:700-741 (ResnetBlock.forward)."""
+
+    def _setup(self, cin=16, cout=16, g=4, d=6, hw=8, seed=0):
+        rng = np.random.RandomState(seed)
+        mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        return (mk(1, d, hw, hw, cin), mk(3, 3, 3, cin, cout) * 0.1,
+                mk(cin), mk(cin), mk(cout), mk(1, d, hw, hw, cout))
+
+    def test_matches_xla_chain(self):
+        from generativemodels_tpu.ops.fused_conv import (
+            _xla_equivalent, fold_groupnorm_affine, fused_norm_silu_conv3d)
+
+        x, w, gamma, beta, bias, res = self._setup()
+        scale, shift = fold_groupnorm_affine(x, gamma, beta, 4)
+        out = fused_norm_silu_conv3d(
+            x, w, scale, shift, bias=bias, residual=res, interpret=True)
+        exp = _xla_equivalent(x, w, scale, shift, bias, res, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(exp), atol=1e-5)
+
+    def test_temb_folded_into_affine(self):
+        """normalize(x + temb) == x*scale + shift with the folded stats."""
+        from generativemodels_tpu.ops.fused_conv import fold_groupnorm_affine
+
+        x, _, gamma, beta, _, _ = self._setup()
+        temb = jnp.asarray(np.random.RandomState(3).standard_normal((1, 16)).astype(np.float32))
+        scale, shift = fold_groupnorm_affine(x, gamma, beta, 4, temb=temb)
+        got = x * scale[:, None, None, None, :] + shift[:, None, None, None, :]
+        xt = x + temb[:, None, None, None, :]
+        xg = xt.reshape(1, 6, 8, 8, 4, 4)
+        mean = xg.mean(axis=(1, 2, 3, 5), keepdims=True)
+        var = ((xg - mean) ** 2).mean(axis=(1, 2, 3, 5), keepdims=True)
+        exp = ((xg - mean) / jnp.sqrt(var + 1e-6)).reshape(x.shape) * gamma + beta
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-4)
+
+    def test_custom_vjp_matches_xla_grad(self):
+        from generativemodels_tpu.ops.fused_conv import (
+            _xla_equivalent, fold_groupnorm_affine, fused_norm_silu_conv3d)
+
+        x, w, gamma, beta, bias, res = self._setup()
+
+        def loss(fn):
+            def f(x, w):
+                s, t = fold_groupnorm_affine(x, gamma, beta, 4)
+                return jnp.sum(fn(x, w, s, t) ** 2)
+            return jax.grad(f, argnums=(0, 1))(x, w)
+
+        gf = loss(lambda x, w, s, t: fused_norm_silu_conv3d(
+            x, w, s, t, bias=bias, residual=res, interpret=True))
+        ge = loss(lambda x, w, s, t: _xla_equivalent(x, w, s, t, bias, res, True))
+        for a, b in zip(gf, ge):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+    def test_resblock_fused_path_parity(self, monkeypatch):
+        """GMTPU_FUSED_RESBLOCK=1: identical param tree and matching
+        forward on a perturbed-params ResnetBlock."""
+        from generativemodels_tpu.networks.nets.diffusion_model_unet import ResnetBlock
+
+        block = ResnetBlock(
+            spatial_dims=3, in_channels=8, out_channels=16, temb_channels=16,
+            norm_num_groups=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 6, 6, 8))
+        emb = jax.random.normal(jax.random.PRNGKey(1), (1, 16))
+
+        monkeypatch.delenv("GMTPU_FUSED_RESBLOCK", raising=False)
+        v = block.init(jax.random.PRNGKey(2), x, emb)
+        leaves, treedef = jax.tree_util.tree_flatten(v)
+        rngs = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+        leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, rngs)]
+        v = jax.tree_util.tree_unflatten(treedef, leaves)
+        out_std = block.apply(v, x, emb)
+
+        monkeypatch.setenv("GMTPU_FUSED_RESBLOCK", "1")
+        v_fused = block.init(jax.random.PRNGKey(2), x, emb)
+        assert (jax.tree_util.tree_structure(v) ==
+                jax.tree_util.tree_structure(v_fused))
+        out_fused = block.apply(v, x, emb)
+        assert float(jnp.max(jnp.abs(out_std))) > 0
+        np.testing.assert_allclose(
+            np.asarray(out_std), np.asarray(out_fused), atol=2e-5)
