@@ -76,25 +76,31 @@ def _conv3d_via_2d(x, w, strides, pads):
             y = z if y is None else y + z
         return y
 
+    # strided depth (downsamplers): per tap, take the strided subset of
+    # input planes that feeds valid outputs, conv, and zero-pad the output
+    # edges (which fuses into the tap-accumulation add, like the sd == 1
+    # path above) — no whole-volume padded input copy.
+    dn = lax.conv_dimension_numbers(
+        (b, h, wd, cin), (kh, kw, cin, cout), ("NHWC", "HWIO", "NHWC")
+    )
     y = None
     for t in range(kd):
-        off = t - pd  # input depth index feeding output 0
-        lo = max(0, -off)
-        hi = max(0, (d_out - 1) * sd + off - (d_in - 1))
-        xt = x
-        if lo or hi:
-            xt = jnp.pad(x, ((0, 0), (lo, hi), (0, 0), (0, 0), (0, 0)))
-        start = max(0, off)
-        xt = xt[:, start : start + (d_out - 1) * sd + 1 : sd]
-        dn = lax.conv_dimension_numbers(
-            (b * d_out, h, wd, cin), (kh, kw, cin, cout), ("NHWC", "HWIO", "NHWC")
-        )
+        off = t - pd  # input depth index feeding output `do` is sd*do + off
+        do_start = max(0, -(off // sd))  # ceil(-off / sd) via floor division
+        do_end = min(d_out, (d_in - 1 - off) // sd + 1)
+        n = do_end - do_start
+        start = sd * do_start + off
+        xt = x[:, start : start + sd * (n - 1) + 1 : sd]
         z = lax.conv_general_dilated(
-            xt.reshape(b * d_out, h, wd, cin), w[t], (sh, sw), pad2,
+            xt.reshape(b * n, h, wd, cin), w[t], (sh, sw), pad2,
             dimension_numbers=dn,
         )
+        z = z.reshape(b, n, *z.shape[1:])
+        lo, hi = do_start, d_out - do_end
+        if lo or hi:
+            z = jnp.pad(z, ((0, 0), (lo, hi), (0, 0), (0, 0), (0, 0)))
         y = z if y is None else y + z
-    return y.reshape(b, d_out, *y.shape[1:])
+    return y
 
 
 class ConvND(nn.Module):
