@@ -1,0 +1,116 @@
+"""Autoregressive VQ-VAE + transformer sampling throughput on-chip.
+
+Workload: the exact 2D VQVAE-transformer MedNIST tutorial config
+(reference tutorials/generative/2d_vqvae_transformer/
+2d_vqvae_transformer_tutorial.py:157-167,339-344 — VQVAE(256,256)
+2x4-stride downsamples to a 16x16/256-token grid, DecoderOnlyTransformer
+dim 96 / depth 12 / heads 8, 257 tokens incl. BOS), sampling the full
+256-token grid then decoding, as the tutorial's sampling cell does
+(:461-476).
+
+Two paths are timed (see inferers/vqvae_transformer.py:71-157):
+  - `windowed`: the tutorial-exact max_seq_len=256 crop — each of the 256
+    steps re-forwards the full window (the reference's only path;
+    O(S^2 * S) total).
+  - `kv_cache`: max_seq_len=257 so the whole sequence fits and the
+    KV-cache decode engages (O(S) per token).
+
+Prints a JSON list; run on the TPU (or CPU with JAX_PLATFORMS=cpu).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+from generativemodels_tpu.inferers import VQVAETransformerInferer
+from generativemodels_tpu.networks.nets import VQVAE, DecoderOnlyTransformer
+from generativemodels_tpu.utils import Ordering
+
+GRID = (16, 16)  # 64x64 MedNIST image, two stride-2x4 downsamps
+SEQ = GRID[0] * GRID[1]
+
+
+def build(max_seq_len: int, image_size: int = 64):
+    vqvae = VQVAE(
+        spatial_dims=2, in_channels=1, out_channels=1,
+        num_channels=(256, 256), num_res_layers=2,
+        num_res_channels=(256, 256),
+        downsample_parameters=((2, 4, 1, 1), (2, 4, 1, 1)),
+        upsample_parameters=((2, 4, 1, 1, 0), (2, 4, 1, 1, 0)),
+        num_embeddings=256, embedding_dim=32,
+    )
+    transformer = DecoderOnlyTransformer(
+        num_tokens=256 + 1, max_seq_len=max_seq_len,
+        attn_layers_dim=96, attn_layers_depth=12, attn_layers_heads=8,
+    )
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 1, image_size, image_size))
+    vq_vars = jax.jit(vqvae.init)(key, x)
+    tr_vars = jax.jit(transformer.init)(key, jnp.zeros((1, max_seq_len), jnp.int32))
+    return vqvae.bind(vq_vars), transformer.bind(tr_vars)
+
+
+def time_sample(batch: int, use_cache: bool, repeats: int = 5, grid=GRID):
+    seq = grid[0] * grid[1]
+    max_seq_len = seq + 1 if use_cache else seq
+    vq, tr = build(max_seq_len, image_size=grid[0] * 4)
+    ordering = Ordering("raster_scan", 2, (1,) + tuple(grid))
+    inferer = VQVAETransformerInferer()
+    start = jnp.full((batch, 1), 256, jnp.int32)
+
+    def run(seed):
+        img = inferer.sample(
+            tuple(grid), start, vq, tr, ordering, temperature=1.0, top_k=None,
+            key=jax.random.PRNGKey(seed), use_cache=use_cache,
+        )
+        return float(jnp.sum(img))  # sync through the tunnel
+
+    run(0)  # compile
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    return {
+        "path": "kv_cache" if use_cache else "windowed_full_forward",
+        "batch": batch,
+        "tokens": seq,
+        "median_s": round(med, 4),
+        "samples_per_min": round(60.0 * batch / med, 2),
+        "backend": jax.devices()[0].platform,
+    }
+
+
+def main():
+    rows = []
+    for batch in (1, 16):
+        for use_cache in (False, True):
+            row = time_sample(batch, use_cache)
+            print(row, flush=True)
+            rows.append(row)
+    # crossover probe: 1024-token grid (128x128 image), batch 1
+    for use_cache in (False, True):
+        row = time_sample(1, use_cache, repeats=3, grid=(32, 32))
+        print(row, flush=True)
+        rows.append(row)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results_ar_sampling.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,7 @@ from ..metrics import MultiScaleSSIMMetric
 from ..networks.nets import DiffusionModelUNet
 from ..networks.schedulers import DDIMScheduler, DDPMScheduler, PNDMScheduler
 from ..parallel import init_train_state, make_diffusion_train_step
+from ..utils import enable_persistent_compilation_cache
 from .eval_quality import ms_ssim_weights_for
 from .train_2d_ddpm import synthetic_batch
 
@@ -42,6 +43,7 @@ def sample_with(scheduler_cls, kwargs, steps, fn, noise, key):
 
 
 def main() -> None:
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--train-steps", type=int, default=200)
     parser.add_argument("--batch", type=int, default=32)

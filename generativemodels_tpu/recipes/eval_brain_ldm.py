@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ..config import load_preset
 from ..metrics import FIDMetric, MultiScaleSSIMMetric
 from ..networks.backbones import ResNetFeatures
+from ..utils import enable_persistent_compilation_cache
 from .brain_ldm_sampler import make_conditioning, sample_brain_ldm
 from .eval_quality import ms_ssim_weights_for
 
@@ -75,6 +76,7 @@ def make_3d_feature_extractor(weights_path: str | None = None, key=None):
 
 
 def main(argv=None) -> None:
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--sample-count", type=int, default=8,
                         help="volumes with distinct covariates (diversity set)")

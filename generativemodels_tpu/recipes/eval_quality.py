@@ -34,6 +34,7 @@ from ..networks.backbones import ResNetFeatures
 from ..networks.nets import DiffusionModelUNet
 from ..networks.schedulers import DDIMScheduler, DDPMScheduler
 from ..parallel import init_train_state, make_diffusion_train_step
+from ..utils import enable_persistent_compilation_cache
 from .train_2d_ddpm import synthetic_batch
 
 
@@ -111,6 +112,7 @@ PRESETS: dict[str, dict] = {
 
 
 def main() -> None:
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", choices=sorted(PRESETS), default=None,
                         help="pin a pre-registered eval config; explicit "

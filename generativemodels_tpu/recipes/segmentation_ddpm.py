@@ -26,6 +26,7 @@ from ..inferers import DiffusionInferer
 from ..networks.nets import DiffusionModelUNet
 from ..networks.schedulers import DDPMScheduler
 from ..parallel import TrainState, init_train_state
+from ..utils import enable_persistent_compilation_cache
 from .train_controlnet import synthetic_masked_batch
 
 
@@ -85,6 +86,7 @@ def segment_with_uncertainty(
 
 
 def main() -> None:
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--batch", type=int, default=16)

@@ -22,6 +22,7 @@ from ..networks.nets import DiffusionModelUNet
 from ..networks.schedulers import DDPMScheduler
 from ..parallel import create_mesh, init_train_state, make_diffusion_train_step, shard_batch, shard_params
 from ..utils import CheckpointManager, StepTimer
+from ..utils import enable_persistent_compilation_cache
 
 
 def synthetic_batch(key, batch: int, size: int) -> jnp.ndarray:
@@ -35,6 +36,7 @@ def synthetic_batch(key, batch: int, size: int) -> jnp.ndarray:
 
 
 def main() -> None:
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--batch", type=int, default=64)

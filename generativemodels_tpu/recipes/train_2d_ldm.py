@@ -24,10 +24,12 @@ from ..networks.nets import AutoencoderKL, DiffusionModelUNet, PatchDiscriminato
 from ..networks.schedulers import DDPMScheduler
 from ..parallel import init_train_state
 from ..recipes.super_resolution import compute_scale_factor
+from ..utils import enable_persistent_compilation_cache
 from .train_2d_ddpm import synthetic_batch
 
 
 def main() -> None:
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--stage1-steps", type=int, default=50)
     parser.add_argument("--stage2-steps", type=int, default=50)

@@ -37,6 +37,7 @@ from ..parallel import (
     shard_params,
 )
 from ..utils import CheckpointManager, StepTimer
+from ..utils import enable_persistent_compilation_cache
 
 
 def synthetic_volume(key, batch: int, size: int) -> jnp.ndarray:
@@ -80,6 +81,7 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    enable_persistent_compilation_cache()
     args = build_argparser().parse_args(argv)
 
     model = DiffusionModelUNet(

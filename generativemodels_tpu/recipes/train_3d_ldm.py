@@ -36,6 +36,7 @@ from ..networks.nets import AutoencoderKL, DiffusionModelUNet, PatchDiscriminato
 from ..networks.schedulers import DDPMScheduler
 from ..parallel import init_train_state
 from ..recipes.super_resolution import compute_scale_factor
+from ..utils import enable_persistent_compilation_cache
 from .train_3d_ddpm import synthetic_volume
 
 
@@ -61,6 +62,7 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    enable_persistent_compilation_cache()
     args = build_argparser().parse_args(argv)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
 

@@ -27,6 +27,7 @@ from ..inferers import ControlNetDiffusionInferer
 from ..networks.nets import ControlNet, DiffusionModelUNet, copy_weights_to_controlnet
 from ..networks.schedulers import DDPMScheduler
 from ..parallel import TrainState, init_train_state, make_diffusion_train_step
+from ..utils import enable_persistent_compilation_cache
 from .train_2d_ddpm import synthetic_batch
 
 
@@ -79,6 +80,7 @@ def make_controlnet_train_step(
 
 
 def main() -> None:
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--pretrain-steps", type=int, default=30)
     parser.add_argument("--steps", type=int, default=50)

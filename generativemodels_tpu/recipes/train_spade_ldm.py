@@ -25,6 +25,7 @@ from ..losses import PatchAdversarialLoss
 from ..networks.nets import PatchDiscriminator, SPADEAutoencoderKL, SPADEDiffusionModelUNet
 from ..networks.schedulers import DDPMScheduler
 from ..parallel import init_train_state
+from ..utils import enable_persistent_compilation_cache
 from .super_resolution import compute_scale_factor
 from .train_2d_ddpm import synthetic_batch
 
@@ -45,6 +46,7 @@ def synthetic_seg_batch(key, batch: int, size: int, label_nc: int = 3):
 
 
 def main() -> None:
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--stage1-steps", type=int, default=30)
     parser.add_argument("--stage2-steps", type=int, default=30)

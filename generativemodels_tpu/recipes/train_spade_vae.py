@@ -23,6 +23,7 @@ import optax
 
 from ..losses import PatchAdversarialLoss, feature_matching_loss
 from ..networks.nets import MultiScalePatchDiscriminator, SPADENet
+from ..utils import enable_persistent_compilation_cache
 from .train_spade_ldm import synthetic_seg_batch
 
 
@@ -99,6 +100,7 @@ def make_spade_vae_step(
 
 
 def main() -> None:
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--batch", type=int, default=8)

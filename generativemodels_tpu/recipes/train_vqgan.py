@@ -28,6 +28,7 @@ import optax
 
 from ..losses import PatchAdversarialLoss, feature_matching_loss
 from ..networks.nets import PatchDiscriminator, VQVAE
+from ..utils import enable_persistent_compilation_cache
 from .train_2d_ddpm import synthetic_batch
 
 
@@ -125,6 +126,7 @@ def make_vqgan_step(
 
 
 def main(argv=None) -> None:
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--warmup-steps", type=int, default=10)

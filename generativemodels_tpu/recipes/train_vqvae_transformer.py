@@ -19,10 +19,12 @@ import optax
 from ..inferers import VQVAETransformerInferer
 from ..networks.nets import VQVAE, DecoderOnlyTransformer
 from ..utils import Ordering
+from ..utils import enable_persistent_compilation_cache
 from .train_2d_ddpm import synthetic_batch
 
 
 def main() -> None:
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--stage1-steps", type=int, default=50)
     parser.add_argument("--stage2-steps", type=int, default=50)

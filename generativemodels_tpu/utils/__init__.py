@@ -33,3 +33,6 @@ __all__ += ["MetricsLogger"]
 from .export import export_fn, load_exported, load_fn, save_exported
 
 __all__ += ["export_fn", "load_exported", "load_fn", "save_exported"]
+from .compilation_cache import enable_persistent_compilation_cache
+
+__all__ += ["enable_persistent_compilation_cache"]
