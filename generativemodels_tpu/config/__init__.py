@@ -16,4 +16,12 @@ def load_preset(name: str) -> ConfigParser:
     return ConfigParser.load_file(path)
 
 
-__all__ = ["ConfigParser", "load_preset", "PRESET_DIR"]
+from .bundle_compat import load_reference_bundle, rewrite_targets
+
+__all__ = [
+    "ConfigParser",
+    "load_preset",
+    "load_reference_bundle",
+    "rewrite_targets",
+    "PRESET_DIR",
+]

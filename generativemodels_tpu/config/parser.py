@@ -99,10 +99,14 @@ class ConfigParser:
             if "_target_" in node:
                 if node.get("_disabled_"):
                     return None
+                # bundle `_requires_`: evaluate first (for side effects /
+                # forced resolution order), never passed as a kwarg
+                if "_requires_" in node:
+                    self._evaluate(node["_requires_"])
                 kwargs = {
                     k: self._evaluate(v)
                     for k, v in node.items()
-                    if k not in ("_target_", "_disabled_")
+                    if k not in ("_target_", "_disabled_", "_requires_")
                 }
                 return _import_target(node["_target_"])(**kwargs)
             return {k: self._evaluate(v) for k, v in node.items()}

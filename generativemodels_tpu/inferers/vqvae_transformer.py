@@ -17,6 +17,39 @@ import math
 import jax
 import jax.numpy as jnp
 
+# Measured on a v5e (benchmarks/results_ar_sampling.json): at the 2D
+# tutorial scale (256-token grid, dim-96/depth-12 transformer) the
+# windowed full-forward scan beats KV-cache decode 2-4x — both paths are
+# per-step-dispatch-bound at this size and each full re-forward is one
+# MXU-efficient batched matmul, while cached decode runs S serial
+# low-occupancy matvecs. Still true at 1024 tokens (2.57 s vs 3.19 s), so
+# on TPU auto-dispatch only engages the cache for longer sequences (3D
+# grids, e.g. 16^3 = 4096), where the windowed path's O(S^2) re-forward
+# FLOPs finally dominate. Forcing `use_cache=True/False` overrides.
+_CACHE_MIN_SEQ_TPU = 2048
+
+
+def resolve_use_cache(
+    total_len: int, max_seq_len: int, bos_len: int, transformer_model
+) -> bool:
+    """Decide whether AR sampling uses the KV-cache decode path.
+
+    The cache requires the whole sequence to fit `max_seq_len`, a single
+    BOS token, and an unbindable (Flax bound) transformer; on TPU it must
+    also be long enough to beat the windowed full-forward scan (see
+    `_CACHE_MIN_SEQ_TPU`).
+    """
+    fits = total_len <= max_seq_len and bos_len == 1 and hasattr(
+        transformer_model, "unbind"
+    )
+    if not fits:
+        return False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return total_len >= _CACHE_MIN_SEQ_TPU if on_tpu else True
+
 
 class VQVAETransformerInferer:
     """Orchestrates a (bound) VQVAE, a transformer callable and an Ordering.
@@ -105,10 +138,8 @@ class VQVAETransformerInferer:
         )
 
         if use_cache is None:
-            use_cache = (
-                total_len <= max_seq_len
-                and bos_len == 1
-                and hasattr(transformer_model, "unbind")
+            use_cache = resolve_use_cache(
+                total_len, max_seq_len, bos_len, transformer_model
             )
         if use_cache:
             latent_seq = self._sample_tokens_cached(

@@ -82,3 +82,78 @@ class TestPresets:
         net = parser.resolve("network")
         assert net.cross_attention_dim == 1024
         assert isinstance(parser.resolve("inferer"), LatentDiffusionInferer)
+
+
+REFERENCE = "/root/reference"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REFERENCE), reason="reference checkout absent"
+)
+class TestReferenceBundleCompat:
+    """Instantiate TPU components from the reference's own bundle files."""
+
+    def test_mednist_common_yaml(self):
+        from generativemodels_tpu.config import load_reference_bundle
+
+        path = (
+            REFERENCE
+            + "/model-zoo/models/mednist_ddpm/bundle/configs/common.yaml"
+        )
+        parser = load_reference_bundle(path)
+        net = parser.resolve("network_def")
+        assert isinstance(net, DiffusionModelUNet)
+        assert tuple(net.num_channels) == (64, 128, 128)
+        assert net.num_head_channels == 128 or tuple(
+            getattr(net, "num_head_channels", ())
+        ) == (128, 128, 128)
+        sched = parser.resolve("scheduler")
+        assert isinstance(sched, DDPMScheduler)
+        assert sched.num_train_timesteps == 1000
+        inferer = parser.resolve("inferer")
+        assert isinstance(inferer, DiffusionInferer)
+        assert inferer.scheduler is sched
+
+    def test_brain_inference_json(self):
+        from generativemodels_tpu.config import load_reference_bundle
+
+        path = (
+            REFERENCE
+            + "/model-zoo/models/brain_image_synthesis_latent_diffusion_model"
+            + "/configs/inference.json"
+        )
+        parser = load_reference_bundle(path)
+        aekl = parser.resolve("autoencoder_def")
+        assert isinstance(aekl, AutoencoderKL)
+        assert tuple(aekl.num_channels) == (64, 128, 128, 128)
+        unet = parser.resolve("diffusion_def")
+        assert isinstance(unet, DiffusionModelUNet)
+        assert unet.in_channels == 7 and unet.with_conditioning
+        # `_requires_` (torch state_dict loads) must be stripped, so the
+        # scheduler resolves without touching torch or weight files
+        sched = parser.resolve("scheduler")
+        assert isinstance(sched, DDIMScheduler)
+        assert sched.num_train_timesteps == 1000 and not sched.clip_sample
+
+    def test_requires_semantics_in_own_parser(self):
+        seen = []
+
+        class Probe:
+            def __init__(self):
+                seen.append("made")
+
+        import generativemodels_tpu.config as cfg_pkg
+
+        cfg_pkg._probe_cls = Probe  # importable dotted path for _target_
+        try:
+            parser = ConfigParser({
+                "flag": "$[1].append(2)",
+                "obj": {
+                    "_target_": "generativemodels_tpu.config._probe_cls",
+                    "_requires_": "@flag",
+                },
+            })
+            assert isinstance(parser.resolve("obj"), Probe)
+            assert seen == ["made"]
+        finally:
+            del cfg_pkg._probe_cls

@@ -440,3 +440,32 @@ class TestSPADELatentDiffusion:
             x, bound, fn, jnp.zeros_like(z), jnp.array([2]), seg=seg_latent
         )
         assert pred.shape == z.shape
+
+
+class TestARSamplingDispatch:
+    """Measured KV-cache dispatch envelope (benchmarks/results_ar_sampling.json)."""
+
+    def test_resolve_use_cache(self, monkeypatch):
+        from generativemodels_tpu.inferers.vqvae_transformer import (
+            _CACHE_MIN_SEQ_TPU,
+            resolve_use_cache,
+        )
+
+        class Bound:
+            def unbind(self):  # looks like a Flax bound module
+                return None, None
+
+        import jax as _jax
+
+        # ineligible regardless of platform: doesn't fit / multi-token BOS
+        assert not resolve_use_cache(257, 256, 1, Bound())
+        assert not resolve_use_cache(200, 256, 2, Bound())
+        assert not resolve_use_cache(200, 256, 1, object())
+
+        monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+        assert resolve_use_cache(257, 257, 1, Bound())
+
+        # on TPU short sequences stay on the windowed full-forward scan
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        assert not resolve_use_cache(257, 257, 1, Bound())
+        assert resolve_use_cache(_CACHE_MIN_SEQ_TPU, 4097, 1, Bound())
