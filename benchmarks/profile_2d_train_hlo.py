@@ -1,0 +1,99 @@
+"""HLO-correlated profile of the 2D DDPM train step (bench.py config).
+
+The measured-MFU breakdown (results_mfu.json) shows 39.6% of device time
+in elementwise/reduce fusions, with `%convert_reduce_fusion` alone at
+14.9% — but collapsed names hide what those fusions compute. Reuses the
+trace/HLO cross-referencing from profile_3d_hlo.py to turn each hot
+fusion into its body-op histogram + output shape, so the residual over
+the 59% MFU is attributable (GroupNorm statistics? f32 grad casts?
+optimizer math?).
+
+Writes benchmarks/results_2d_train_hlo.json.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp
+import optax
+
+from generativemodels_tpu.networks.nets import DiffusionModelUNet
+from generativemodels_tpu.networks.schedulers import DDPMScheduler
+from generativemodels_tpu.parallel import init_train_state, make_diffusion_train_step
+from profile_3d_hlo import annotate, top_ops_full
+
+BATCH = 128
+SIZE = 64
+
+
+def main() -> None:
+    model = DiffusionModelUNet(
+        spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+        num_channels=(128, 256, 256), attention_levels=(False, True, True),
+        num_head_channels=256, dtype=jnp.bfloat16,
+    )
+    x = jnp.zeros((BATCH, 1, SIZE, SIZE))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x, jnp.zeros((BATCH,), jnp.int32)
+    )
+    scheduler = DDPMScheduler(num_train_timesteps=1000)
+    tx = optax.adam(2.5e-5)
+    apply = lambda p, xx, tt: model.apply({"params": p}, xx, tt)
+    step = make_diffusion_train_step(apply, scheduler, tx)
+    state = init_train_state(variables["params"], tx)
+
+    images = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    key = jax.random.PRNGKey(2)
+    state, loss = step(state, images, key)  # compile + warm
+    float(loss)
+
+    # step is already jitted by make_diffusion_train_step — lower the SAME
+    # callable so the trace's %fusion.N numbering matches the HLO text
+    compiled = step.lower(state, images, key).compile()
+    hlo = compiled.as_text()
+
+    trace_dir = "/tmp/xprof_2d_train_hlo"
+    with jax.profiler.trace(trace_dir):
+        for i in range(3):
+            state, loss = step(state, images, jax.random.PRNGKey(3 + i))
+        float(loss)
+
+    path = max(
+        glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb")),
+        key=os.path.getmtime,
+    )
+    ops, _ = top_ops_full(path, top=45)
+    inner_total = sum(d for n, d in ops if not n.startswith("%while")) or 1
+
+    rows = []
+    for name, dur in ops:
+        if name.startswith("%while"):
+            continue
+        info = annotate(hlo, name.split(" ")[0])
+        rows.append({
+            "op": name if len(name) < 120 else name.split(" ")[0],
+            "pct": round(dur / inner_total * 100, 2),
+            **info,
+        })
+    result = {"rows": rows[:35], "total_ms": round(inner_total / 1e9 / 3, 2)}
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results_2d_train_hlo.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    for r in rows[:20]:
+        print(r.get("pct"), r.get("op")[:60], r.get("shape"), r.get("body_ops"))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,18 +66,24 @@ def annotate(hlo: str, opname: str) -> dict:
     """Find `%opname = shape fusion(...), calls=%comp` and summarise the
     called computation's contents."""
     name = opname.lstrip("%")
-    m = re.search(
-        rf"%?{re.escape(name)}\s*=\s*([^\s]+)\s+(\w[\w-]*)\([^\n]*", hlo
-    )
+    m = re.search(rf"^.*%{re.escape(name)}\s*=\s*([^\n]*)$", hlo, re.M)
     if not m:
         return {"found": False}
-    shape, kind = m.group(1), m.group(2)
-    info = {"found": True, "shape": shape, "op": kind}
-    cm = re.search(r"calls=%?([\w.-]+)", m.group(0))
+    rhs = m.group(1)
+    # op kind = the identifier before the operand list "(%..." — this also
+    # works for tuple-shaped (multi-output) fusions whose shape itself
+    # contains parens (layout annotations like T(8,128))
+    km = re.search(r"([\w-]+)\(%", rhs) or re.search(r"\s([\w-]+)\(", rhs)
+    if not km:
+        return {"found": False}
+    kind = km.group(1)
+    shape = rhs[: km.start()].strip()
+    info = {"found": True, "shape": shape[:120], "op": kind}
+    cm = re.search(r"calls=%?([\w.-]+)", rhs)
     if cm:
         comp = cm.group(1)
         bm = re.search(
-            rf"%?{re.escape(comp)}\s*\([^)]*\)[^{{]*{{(.*?)\n}}", hlo, re.S
+            rf"%?{re.escape(comp)}[^\n{{]*{{(.*?)\n}}", hlo, re.S
         )
         if bm:
             body = bm.group(1)
