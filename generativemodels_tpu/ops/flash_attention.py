@@ -25,6 +25,10 @@ bench_attention.py):
     block_q=256 / block_k=1024 wins at the flagship shapes (bench re-run:
     seq 1024 d=256 fwd 1.10 ms vs 1.35 ms XLA fused; seq 4096 d=64
     0.37 vs 0.57; fwd+bwd 2.33 vs 3.21 and 0.70 vs 1.34).
+  - The softmax runs in the log2 domain (exp2) with log2(e) folded into
+    the q prescale. Measured on v5e: +4.5% kernel fwd at seq 1024/d256,
+    a wash (+0.4%) at 32k/d64 — kept because sampling is forward-only
+    and no shape loses beyond noise.
 """
 from __future__ import annotations
 
@@ -36,6 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # log2(e)
+LN2 = 0.6931471805599453  # 1/LOG2E
 
 
 def _round_up(x: int, m: int) -> int:
@@ -76,8 +82,15 @@ def _build_mask(qi, kj, block_q, block_k, kv_len, causal, *, interior):
 
 
 def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
-              block_q, block_k, interior):
-    """One online-softmax update for a (block_q, block_k) score tile."""
+              block_q, block_k, interior, exp2=False):
+    """One online-softmax update for a (block_q, block_k) score tile.
+
+    With `exp2=True` the scores arrive pre-multiplied by log2(e) (folded
+    into the q prescale, see `flash_attention`) and the whole online
+    softmax runs in the log2 domain: `exp2` replaces `exp`, saving the
+    implicit x*log2e multiply inside every transcendental over the score
+    tile. The softmax weights are bit-equivalent in exact arithmetic.
+    """
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -87,10 +100,11 @@ def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
     if mask is not None:
         s = jnp.where(mask, s, NEG_INF)
 
+    exp_fn = jnp.exp2 if exp2 else jnp.exp
     m_prev = m_ref[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = exp_fn(s - m_new)
+    alpha = exp_fn(m_prev - m_new)
     l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -101,7 +115,7 @@ def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, scale, causal, kv_len, block_q, block_k, upcast=False,
+    *, scale, causal, kv_len, block_q, block_k, upcast=False, exp2=False,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -120,7 +134,7 @@ def _fwd_kernel(
     tile = functools.partial(
         _fwd_tile, q, k, v, qi, kj, m_ref, l_ref, acc_ref,
         scale=scale, causal=causal, kv_len=kv_len,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, exp2=exp2,
     )
 
     if causal:
@@ -145,17 +159,22 @@ def _fwd_kernel(
     def _():
         l_safe = jnp.maximum(l_ref[...], 1e-30)
         o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_ref[...] + jnp.log(l_safe))[:, 0]
+        # log2-domain lse when exp2: consumed consistently by the backward
+        log_fn = jnp.log2 if exp2 else jnp.log
+        lse_ref[0, 0] = (m_ref[...] + log_fn(l_safe))[:, 0]
 
 
 def _dq_tile(q, k, v, do, lse, delta, qi, kj, acc_ref, *, scale, causal,
-             kv_len, block_q, block_k, interior):
+             kv_len, block_q, block_k, interior, exp2=False):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if scale != 1.0:
         s = s * scale
-    p = jnp.exp(s - lse)
+    # exp2 mode: s and lse are both in the log2 domain, p is exact softmax;
+    # the missing d(softmax)/ds factor ln2 arrives via the do/delta prescale
+    # in _flash_bwd, so ds (and hence dq/dk) needs no extra multiply here.
+    p = (jnp.exp2 if exp2 else jnp.exp)(s - lse)
     mask = _build_mask(qi, kj, block_q, block_k, kv_len, causal, interior=interior)
     if mask is not None:
         p = jnp.where(mask, p, 0.0)
@@ -171,7 +190,7 @@ def _dq_tile(q, k, v, do, lse, delta, qi, kj, acc_ref, *, scale, causal,
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
-    *, scale, causal, kv_len, block_q, block_k, upcast=False,
+    *, scale, causal, kv_len, block_q, block_k, upcast=False, exp2=False,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -191,7 +210,7 @@ def _dq_kernel(
     tile = functools.partial(
         _dq_tile, q, k, v, do, lse, delta, qi, kj, acc_ref,
         scale=scale, causal=causal, kv_len=kv_len,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, exp2=exp2,
     )
 
     if causal:
@@ -216,13 +235,13 @@ def _dq_kernel(
 
 
 def _dkv_tile(q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref, *,
-              scale, causal, kv_len, block_q, block_k, interior):
+              scale, causal, kv_len, block_q, block_k, interior, exp2=False):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if scale != 1.0:
         s = s * scale
-    p = jnp.exp(s - lse)
+    p = (jnp.exp2 if exp2 else jnp.exp)(s - lse)
     mask = _build_mask(qi, kj, block_q, block_k, kv_len, causal, interior=interior)
     if mask is not None:
         p = jnp.where(mask, p, 0.0)
@@ -243,7 +262,7 @@ def _dkv_tile(q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref, *,
 def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_acc_ref, dv_acc_ref,
-    *, scale, causal, kv_len, block_q, block_k, upcast=False,
+    *, scale, causal, kv_len, block_q, block_k, upcast=False, exp2=False,
 ):
     kj = pl.program_id(1)
     qi = pl.program_id(2)
@@ -264,7 +283,7 @@ def _dkv_kernel(
     tile = functools.partial(
         _dkv_tile, q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref,
         scale=scale, causal=causal, kv_len=kv_len,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, exp2=exp2,
     )
 
     if causal:
@@ -288,7 +307,11 @@ def _dkv_kernel(
     @pl.when(qi == num_q - 1)
     def _():
         dk_ref[0] = dk_acc_ref[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc_ref[...].astype(dv_ref.dtype)
+        # exp2 mode feeds do*ln2 into both backward kernels so ds carries
+        # the d(softmax)/d(log2-score) factor; dv = p^T @ do must not, so
+        # undo it once on the accumulated (block_k, d) tile.
+        dv = dv_acc_ref[...] * LOG2E if exp2 else dv_acc_ref[...]
+        dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _pad_seq(x, target):
@@ -297,13 +320,13 @@ def _pad_seq(x, target):
     return x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast):
-    out, _ = _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2):
+    out, _ = _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2)
     return out
 
 
-def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=False):
+def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=False, exp2=False):
     bh, sq, d = q.shape
     sk = k.shape[1]
     sq_p = _round_up(sq, block_q)
@@ -313,7 +336,7 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=
     grid = (bh, sq_p // block_q, sk_p // block_k)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, kv_len=sk, block_q=block_q,
-        block_k=block_k, upcast=upcast,
+        block_k=block_k, upcast=upcast, exp2=exp2,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -344,17 +367,22 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=
     return out[:, :sq], (q, k, v, out[:, :sq], lse)
 
 
-def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret, upcast):
-    return _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast)
+def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2):
+    return _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, res, dout):
+def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, exp2, res, dout):
     q, k, v, out, lse = res
     bh, sq, d = q.shape
     sk = k.shape[1]
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k)
 
+    if exp2:
+        # log2-domain backward: ds = ln2 * p * (dp - delta). Riding ln2 on
+        # do (and so on dp and delta) is free; dv alone must not carry it
+        # and is corrected in the _dkv epilogue.
+        dout = dout * jnp.asarray(LN2, dout.dtype)
     delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     if sq_p != sq:
         delta = jnp.pad(delta, ((0, 0), (0, sq_p - sq)))
@@ -364,7 +392,7 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, res, dout):
     kp, vp = _pad_seq(k, sk_p), _pad_seq(v, sk_p)
 
     common = dict(scale=scale, causal=causal, kv_len=sk, block_q=block_q,
-                  block_k=block_k, upcast=upcast)
+                  block_k=block_k, upcast=upcast, exp2=exp2)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
@@ -451,11 +479,13 @@ def flash_attention(
     sq, sk = q.shape[1], k.shape[1]
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
-    # fold the softmax scale into q: one fewer VPU pass over every score
-    # tile (6% at the 3D 32k/d64 shape, benchmarks/results_attn_vpu.json);
-    # the kernels then skip their scale multiplies statically. The
-    # gradient chain through this multiply restores dq's scale factor.
-    if scale != 1.0 and not upcast:
-        q = q * jnp.asarray(scale, q.dtype)
+    # fold the softmax scale *and* log2(e) into q: one fewer VPU pass over
+    # every score tile (6% at the 3D 32k/d64 shape, results_attn_vpu.json),
+    # and the online softmax then runs in the log2 domain (exp2 instead of
+    # exp — drops the implicit x*log2e multiply inside each transcendental).
+    # The gradient chain through this multiply restores dq's scale factor.
+    exp2 = not upcast
+    if exp2:
+        q = q * jnp.asarray(scale * LOG2E, q.dtype)
         scale = 1.0
-    return _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast)
+    return _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2)
