@@ -76,21 +76,37 @@ def _conv3d_via_2d(x, w, strides, pads):
             y = z if y is None else y + z
         return y
 
-    # strided depth (downsamplers): per tap, take the strided subset of
-    # input planes that feeds valid outputs, conv, and zero-pad the output
-    # edges (which fuses into the tap-accumulation add, like the sd == 1
-    # path above) — no whole-volume padded input copy.
+    # strided depth (downsamplers): each tap reads the input planes
+    # idx = sd*do + (t - pd). XLA lowers a strided depth slice of the
+    # depth-minor layout as a serial dynamic-update-slice loop at ~37 GB/s
+    # (three of them = 4.3% of 3D sample time, results_3d_hlo_profile.json),
+    # so when sd divides d_in we split the volume ONCE into its sd depth
+    # parities (one relayout pass) and every tap becomes a contiguous
+    # shifted slice of one parity: measured 2.7x on the 128^3 lvl0
+    # downsampler (6.75 -> 2.52 ms).
     dn = lax.conv_dimension_numbers(
         (b, h, wd, cin), (kh, kw, cin, cout), ("NHWC", "HWIO", "NHWC")
     )
+    groups = None
+    if d_in % sd == 0:
+        xr = x.reshape(b, d_in // sd, sd, h, wd, cin)
+        xr = xr.transpose(0, 2, 1, 3, 4, 5)  # (b, sd, d_in/sd, h, w, c)
+        groups = [xr[:, r] for r in range(sd)]
     y = None
     for t in range(kd):
         off = t - pd  # input depth index feeding output `do` is sd*do + off
-        do_start = max(0, -(off // sd))  # ceil(-off / sd) via floor division
-        do_end = min(d_out, (d_in - 1 - off) // sd + 1)
-        n = do_end - do_start
-        start = sd * do_start + off
-        xt = x[:, start : start + sd * (n - 1) + 1 : sd]
+        if groups is not None:
+            q, r = divmod(off, sd)  # idx = sd*(do + q) + r -> parity r
+            do_start = max(0, -q)
+            do_end = min(d_out, d_in // sd - q)
+            n = do_end - do_start
+            xt = groups[r][:, do_start + q : do_end + q]
+        else:
+            do_start = max(0, -(off // sd))  # ceil(-off / sd) via floor division
+            do_end = min(d_out, (d_in - 1 - off) // sd + 1)
+            n = do_end - do_start
+            start = sd * do_start + off
+            xt = x[:, start : start + sd * (n - 1) + 1 : sd]
         z = lax.conv_general_dilated(
             xt.reshape(b * n, h, wd, cin), w[t], (sh, sw), pad2,
             dimension_numbers=dn,
@@ -101,6 +117,52 @@ def _conv3d_via_2d(x, w, strides, pads):
             z = jnp.pad(z, ((0, 0), (lo, hi), (0, 0), (0, 0), (0, 0)))
         y = z if y is None else y + z
     return y
+
+
+# per-axis kernel transform for conv3(pad 1) of a nearest-x2 upsample:
+# out[2i]   = w0*x[i-1] + (w1+w2)*x[i]
+# out[2i+1] = (w0+w1)*x[i] + w2*x[i+1]
+# == transposed conv, stride 2, K=4, P=1 with taps [w0, w0+w1, w1+w2, w2]
+_UPSAMPLE_TAPS = ((1.0, 0, 0), (1, 1, 0), (0, 1, 1), (0, 0, 1))
+
+
+def _upsample_conv3d(x, w):
+    """conv3^3(pad 1, stride 1) of nearest-x2-upsampled x, from low-res x.
+
+    Lowered as ONE native 3D transposed conv (stride 2, K=4, P=1) with the
+    per-axis-transformed kernel: never materialises the 8x upsampled
+    volume (a 2.7%-of-sample-time 256 MB broadcast at 128^3,
+    results_3d_hlo_profile.json) and runs the matmuls at low resolution.
+    The native lowering beats a depth-tap 2D decomposition here because
+    the decomposition's phase interleave costs two extra 256 MB
+    passes in model context (stack + relayout copy), while XLA emits the
+    lhs-dilated native tconv straight into the consumer's layout
+    (benchmarks/results_upsample_conv.json: 3.79/0.22 ms vs
+    upsample+decomposed-conv 7.62/1.57 ms at the two decoder shapes).
+    Exact in f32 (1e-6); bf16 differs only in accumulation order.
+    """
+    t4 = jnp.asarray(_UPSAMPLE_TAPS, jnp.float32)
+    w4 = jnp.einsum(
+        "pu,qv,rw,uvwco->pqrco", t4, t4, t4, w.astype(jnp.float32)
+    ).astype(w.dtype)
+    dn = lax.conv_dimension_numbers(x.shape, w4.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    # lo pad = K-1-P = 2 per axis (lax.conv_transpose does not flip kernels)
+    return lax.conv_transpose(
+        x, w4, strides=(2, 2, 2), padding=[(2, 2)] * 3, dimension_numbers=dn
+    )
+
+
+def _decompose_gate(n: int, symmetric: bool, d: tuple, override: bool | None) -> bool:
+    """Shared decompose-vs-native gate (GMTPU_DECOMPOSE_3D=always|never|auto)."""
+    eligible = n == 3 and symmetric and d == (1, 1, 1)
+    if override is not None:
+        return override and eligible
+    env = os.environ.get("GMTPU_DECOMPOSE_3D", "auto")
+    if env == "always":
+        return eligible
+    if env == "never":
+        return False
+    return eligible and jax.default_backend() == "tpu"
 
 
 class ConvND(nn.Module):
@@ -123,6 +185,12 @@ class ConvND(nn.Module):
         decompose_3d: lower 3D convs as depth-tap batched 2D convs
             (see _conv3d_via_2d). None = auto: on for TPU backends when
             the geometry allows; False forces the native lowering.
+        nearest_upsample: logically upsample the input x2
+            (nearest-neighbour) before convolving. On the decomposed 3D
+            path with k=3/s=1/p=1 this fuses into a transposed conv that
+            never materialises the upsampled volume (_upsample_conv3d);
+            otherwise it falls back to `upsample_nearest` + conv. The
+            parameter tree is identical either way.
     """
 
     spatial_dims: int
@@ -135,6 +203,7 @@ class ConvND(nn.Module):
     zero_init: bool = False
     dtype: jnp.dtype | None = None
     decompose_3d: bool | None = None
+    nearest_upsample: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -159,19 +228,22 @@ class ConvND(nn.Module):
 
         symmetric = not isinstance(self.padding, str)
         pads = _tuple(self.padding, n) if symmetric else None
-        decompose = self.decompose_3d
-        if decompose is None:
-            # GMTPU_DECOMPOSE_3D=always|never|auto overrides the backend
-            # auto-select (e.g. to compile-check the decomposed+sharded
-            # path on a virtual CPU mesh, or to bisect regressions)
-            env = os.environ.get("GMTPU_DECOMPOSE_3D", "auto")
-            eligible = n == 3 and symmetric and d == (1, 1, 1)
-            if env == "always":
-                decompose = eligible
-            elif env == "never":
-                decompose = False
-            else:
-                decompose = eligible and jax.default_backend() == "tpu"
+        decompose = _decompose_gate(n, symmetric, d, self.decompose_3d)
+
+        if self.nearest_upsample:
+            fuse = (
+                decompose
+                and k == (3, 3, 3)
+                and s == (1, 1, 1)
+                and pads == (1, 1, 1)
+            )
+            if fuse:
+                y = _upsample_conv3d(x, kernel)
+                if bias is not None:
+                    y = y + bias.astype(y.dtype)
+                return y
+            x = upsample_nearest(x, 2)
+
         if decompose:
             if n != 3 or not symmetric or d != (1, 1, 1):
                 raise ValueError(
@@ -224,14 +296,17 @@ class ConvTransposeND(nn.Module):
             (*k, in_features, self.features),
             jnp.float32,
         )
+        # native 3D transposed conv: XLA's lhs-dilated lowering measures
+        # within 5% of a depth-tap 2D decomposition in isolation and wins
+        # in model context, where the decomposition's phase interleave
+        # costs extra whole-volume relayout passes (see _upsample_conv3d)
         # lax.conv_transpose with explicit padding: torch's semantics are
         # pad_lo = dilation*(k-1) - padding, pad_hi = pad_lo + output_padding
         pad = [
-            (d[i] * (k[i] - 1) - p[i], d[i] * (k[i] - 1) - p[i] + op[i]) for i in range(n)
+            (d[i] * (k[i] - 1) - p[i], d[i] * (k[i] - 1) - p[i] + op[i])
+            for i in range(n)
         ]
-        dn = lax.conv_dimension_numbers(
-            x.shape, kernel.shape, _dim_numbers(n)
-        )
+        dn = lax.conv_dimension_numbers(x.shape, kernel.shape, _dim_numbers(n))
         y = lax.conv_transpose(
             x.astype(self.dtype or x.dtype),
             kernel.astype(self.dtype or x.dtype),

@@ -89,10 +89,9 @@ class _Upsample(nn.Module):
                 self.spatial_dims, self.in_channels, kernel_size=3, strides=2, padding=1,
                 output_padding=1, dtype=self.dtype, name="conv",
             )(x)
-        x = upsample_nearest(x, 2)
         return ConvND(
             self.spatial_dims, self.in_channels, kernel_size=3, padding=1, dtype=self.dtype,
-            name="conv",
+            nearest_upsample=True, name="conv",
         )(x)
 
 

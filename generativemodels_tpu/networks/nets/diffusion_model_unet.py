@@ -97,17 +97,19 @@ class Upsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if x.shape[-1] != self.num_channels:
             raise ValueError("Input channels should be equal to num_channels")
-        x = upsample_nearest(x, 2)
         if self.use_conv:
-            x = ConvND(
+            # upsample fuses into the conv on the decomposed 3D path
+            # (never materialises the 8x volume; _upsample_conv3d)
+            return ConvND(
                 self.spatial_dims,
                 self.out_channels or self.num_channels,
                 kernel_size=3,
                 padding=self.padding,
                 dtype=self.dtype,
+                nearest_upsample=True,
                 name="conv",
             )(x)
-        return x
+        return upsample_nearest(x, 2)
 
 
 class _RawParams(nn.Module):
@@ -181,15 +183,16 @@ class ResnetBlock(nn.Module):
         )(x)
         h = nn.silu(h)
 
+        up_fused = self.up  # h's upsample fuses into conv1 (channels-last tconv)
         if self.up:
             x = upsample_nearest(x, 2)
-            h = upsample_nearest(h, 2)
         elif self.down:
             x = avg_pool(x, 2)
             h = avg_pool(h, 2)
 
         h = ConvND(
-            self.spatial_dims, out_channels, kernel_size=3, padding=1, dtype=self.dtype, name="conv1"
+            self.spatial_dims, out_channels, kernel_size=3, padding=1, dtype=self.dtype,
+            nearest_upsample=up_fused, name="conv1"
         )(h)
 
         temb = nn.Dense(out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(emb))

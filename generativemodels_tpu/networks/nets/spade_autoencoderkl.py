@@ -127,10 +127,9 @@ class SPADEAEKLDecoder(nn.Module):
                         name=f"attn_{i}_{j}",
                     )(h)
             if i != len(reversed_channels) - 1:
-                h = upsample_nearest(h, 2)
                 h = ConvND(
                     self.spatial_dims, block_in_ch, kernel_size=3, padding=1,
-                    dtype=self.dtype, name=f"up_{i}",
+                    dtype=self.dtype, nearest_upsample=True, name=f"up_{i}",
                 )(h)
 
         h = nn.GroupNorm(

@@ -63,16 +63,16 @@ class SPADEResnetBlock(nn.Module):
         h = spade(self.in_channels, "norm1")(x, seg)
         h = nn.silu(h)
 
+        up_fused = self.up  # h's upsample fuses into conv1 on the 3D path
         if self.up:
             x = upsample_nearest(x, 2)
-            h = upsample_nearest(h, 2)
         elif self.down:
             x = avg_pool(x, 2)
             h = avg_pool(h, 2)
 
         h = ConvND(
             self.spatial_dims, out_channels, kernel_size=3, padding=1, dtype=self.dtype,
-            name="conv1",
+            nearest_upsample=up_fused, name="conv1",
         )(h)
 
         temb = nn.Dense(out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(emb))

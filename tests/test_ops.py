@@ -238,6 +238,78 @@ class TestConv3DDecomposition:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
 
+class TestFusedUpsampleConv:
+    """`nearest_upsample=True` fuses upsample+conv3^3 into a transposed
+    conv on the decomposed path (convolutions._upsample_conv3d); it must
+    match upsample_nearest + native conv exactly (f32).
+    """
+
+    def _run(self, *, size=(6, 5, 7), cin=4, cout=6, use_bias=True):
+        from generativemodels_tpu.networks.blocks.convolutions import ConvND
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, *size, cin))
+        kwargs = dict(
+            spatial_dims=3, features=cout, kernel_size=3, strides=1,
+            padding=1, use_bias=use_bias, nearest_upsample=True,
+        )
+        ref = ConvND(**kwargs, decompose_3d=False)  # upsample + native conv
+        fused = ConvND(**kwargs, decompose_3d=True)  # _upsample_conv3d
+        variables = ref.init(jax.random.PRNGKey(1), x)
+        a = ref.apply(variables, x)
+        b = fused.apply(variables, x)
+        assert a.shape == b.shape == (2, *(2 * s for s in size), cout)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-5,
+        )
+
+    def test_fused_matches_upsample_then_conv(self):
+        self._run()
+
+    def test_no_bias(self):
+        self._run(use_bias=False)
+
+    def test_grads_match(self):
+        from generativemodels_tpu.networks.blocks.convolutions import ConvND
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4, 3))
+        kwargs = dict(
+            spatial_dims=3, features=5, kernel_size=3, strides=1, padding=1,
+            nearest_upsample=True,
+        )
+        ref = ConvND(**kwargs, decompose_3d=False)
+        fused = ConvND(**kwargs, decompose_3d=True)
+        variables = ref.init(jax.random.PRNGKey(1), x)
+
+        def grads(mod):
+            def f(v, xx):
+                return jnp.sum(mod.apply(v, xx) ** 2)
+
+            return jax.grad(f, argnums=(0, 1))(variables, x)
+
+        ga, gb = grads(ref), grads(fused)
+        for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+    def test_2d_falls_back_to_upsample_then_conv(self):
+        # nearest_upsample on 2D (no fused path) must still upsample
+        from generativemodels_tpu.networks.blocks.convolutions import (
+            ConvND,
+            upsample_nearest,
+        )
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 6, 3))
+        mod = ConvND(spatial_dims=2, features=4, kernel_size=3, padding=1,
+                     nearest_upsample=True)
+        v = mod.init(jax.random.PRNGKey(1), x)
+        out = mod.apply(v, x)
+        ref = ConvND(spatial_dims=2, features=4, kernel_size=3, padding=1)
+        out_ref = ref.apply(v, upsample_nearest(x, 2))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_ref), rtol=1e-6, atol=1e-6
+        )
+
+
 class TestConv3DDecompositionEndToEnd:
     def test_full_3d_unet_forward_parity(self):
         """Whole 3D UNet forward: decomposed vs native lowering.
