@@ -33,6 +33,7 @@ bench_attention.py):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +83,7 @@ def _build_mask(qi, kj, block_q, block_k, kv_len, causal, *, interior):
 
 
 def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
-              block_q, block_k, interior, exp2=False):
+              block_q, block_k, interior, exp2=False, no_max=False):
     """One online-softmax update for a (block_q, block_k) score tile.
 
     With `exp2=True` the scores arrive pre-multiplied by log2(e) (folded
@@ -101,6 +102,20 @@ def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
         s = jnp.where(mask, s, NEG_INF)
 
     exp_fn = jnp.exp2 if exp2 else jnp.exp
+    if no_max:
+        # clamped (max-free) softmax, log2 domain only: f32 exp2 holds
+        # [-126, 127], so clipping scores to [-120, 80] keeps l/acc in
+        # range for ANY input (l <= 2^15 * 2^80, acc ~ l * |v|) while the
+        # clamp only distorts weights beyond natural logits ~55 — far
+        # outside anything a GroupNorm'd model produces. Drops the
+        # per-tile max reduction AND the cross-block alpha rescale.
+        p = exp_fn(jnp.clip(s, -120.0, 80.0))
+        l_ref[...] = l_ref[...] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return
     m_prev = m_ref[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = exp_fn(s - m_new)
@@ -116,6 +131,7 @@ def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     *, scale, causal, kv_len, block_q, block_k, upcast=False, exp2=False,
+    no_max=False,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -134,7 +150,7 @@ def _fwd_kernel(
     tile = functools.partial(
         _fwd_tile, q, k, v, qi, kj, m_ref, l_ref, acc_ref,
         scale=scale, causal=causal, kv_len=kv_len,
-        block_q=block_q, block_k=block_k, exp2=exp2,
+        block_q=block_q, block_k=block_k, exp2=exp2, no_max=no_max,
     )
 
     if causal:
@@ -161,16 +177,21 @@ def _fwd_kernel(
         o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
         # log2-domain lse when exp2: consumed consistently by the backward
         log_fn = jnp.log2 if exp2 else jnp.log
-        lse_ref[0, 0] = (m_ref[...] + log_fn(l_safe))[:, 0]
+        if no_max:
+            lse_ref[0, 0] = log_fn(l_safe)[:, 0]
+        else:
+            lse_ref[0, 0] = (m_ref[...] + log_fn(l_safe))[:, 0]
 
 
 def _dq_tile(q, k, v, do, lse, delta, qi, kj, acc_ref, *, scale, causal,
-             kv_len, block_q, block_k, interior, exp2=False):
+             kv_len, block_q, block_k, interior, exp2=False, no_max=False):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if scale != 1.0:
         s = s * scale
+    if no_max:
+        s = jnp.clip(s, -120.0, 80.0)  # mirror the forward's clamp
     # exp2 mode: s and lse are both in the log2 domain, p is exact softmax;
     # the missing d(softmax)/ds factor ln2 arrives via the do/delta prescale
     # in _flash_bwd, so ds (and hence dq/dk) needs no extra multiply here.
@@ -191,6 +212,7 @@ def _dq_tile(q, k, v, do, lse, delta, qi, kj, acc_ref, *, scale, causal,
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
     *, scale, causal, kv_len, block_q, block_k, upcast=False, exp2=False,
+    no_max=False,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -210,7 +232,7 @@ def _dq_kernel(
     tile = functools.partial(
         _dq_tile, q, k, v, do, lse, delta, qi, kj, acc_ref,
         scale=scale, causal=causal, kv_len=kv_len,
-        block_q=block_q, block_k=block_k, exp2=exp2,
+        block_q=block_q, block_k=block_k, exp2=exp2, no_max=no_max,
     )
 
     if causal:
@@ -235,12 +257,15 @@ def _dq_kernel(
 
 
 def _dkv_tile(q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref, *,
-              scale, causal, kv_len, block_q, block_k, interior, exp2=False):
+              scale, causal, kv_len, block_q, block_k, interior, exp2=False,
+              no_max=False):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if scale != 1.0:
         s = s * scale
+    if no_max:
+        s = jnp.clip(s, -120.0, 80.0)
     p = (jnp.exp2 if exp2 else jnp.exp)(s - lse)
     mask = _build_mask(qi, kj, block_q, block_k, kv_len, causal, interior=interior)
     if mask is not None:
@@ -263,6 +288,7 @@ def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_acc_ref, dv_acc_ref,
     *, scale, causal, kv_len, block_q, block_k, upcast=False, exp2=False,
+    no_max=False,
 ):
     kj = pl.program_id(1)
     qi = pl.program_id(2)
@@ -283,7 +309,7 @@ def _dkv_kernel(
     tile = functools.partial(
         _dkv_tile, q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref,
         scale=scale, causal=causal, kv_len=kv_len,
-        block_q=block_q, block_k=block_k, exp2=exp2,
+        block_q=block_q, block_k=block_k, exp2=exp2, no_max=no_max,
     )
 
     if causal:
@@ -320,13 +346,13 @@ def _pad_seq(x, target):
     return x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2):
-    out, _ = _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max):
+    out, _ = _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max)
     return out
 
 
-def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=False, exp2=False):
+def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=False, exp2=False, no_max=False):
     bh, sq, d = q.shape
     sk = k.shape[1]
     sq_p = _round_up(sq, block_q)
@@ -336,7 +362,7 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=
     grid = (bh, sq_p // block_q, sk_p // block_k)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, kv_len=sk, block_q=block_q,
-        block_k=block_k, upcast=upcast, exp2=exp2,
+        block_k=block_k, upcast=upcast, exp2=exp2, no_max=no_max,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -367,11 +393,11 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=
     return out[:, :sq], (q, k, v, out[:, :sq], lse)
 
 
-def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2):
-    return _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2)
+def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max):
+    return _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, exp2, res, dout):
+def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, res, dout):
     q, k, v, out, lse = res
     bh, sq, d = q.shape
     sk = k.shape[1]
@@ -392,7 +418,7 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, exp2, res, do
     kp, vp = _pad_seq(k, sk_p), _pad_seq(v, sk_p)
 
     common = dict(scale=scale, causal=causal, kv_len=sk, block_q=block_q,
-                  block_k=block_k, upcast=upcast, exp2=exp2)
+                  block_k=block_k, upcast=upcast, exp2=exp2, no_max=no_max)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
@@ -460,6 +486,7 @@ def flash_attention(
     block_k: int = 1024,
     interpret: bool = False,
     upcast: bool = False,
+    no_max: bool | None = None,
 ) -> jnp.ndarray:
     """Differentiable flash attention over (BH, S, D) tensors.
 
@@ -472,6 +499,17 @@ def flash_attention(
         interpret: run kernels in interpreter mode (CPU testing).
         upcast: force f32 matmul operands (reference `upcast_attention`
             operand semantics; ~4x slower on the MXU for bf16 inputs).
+        no_max: max-free online softmax (default on, env
+            `GMTPU_FLASH_NOMAX=0` to disable). Scores are clamped to
+            [-120, 80] in the log2 domain instead of tracking a running
+            row max — f32 exp2 holds the clamped range exactly (l <=
+            2^15 * 2^80), and the per-tile max reduction plus the
+            cross-block alpha rescale of acc/l disappear (+17% fwd at
+            seq 32k/d64, +11% at 1024/d256 — results_nomax_probe.json).
+            Contract: exact softmax whenever natural logits stay within
+            ~±55 (any GroupNorm'd/trained model); beyond that weights
+            saturate equally instead of argmax-ing, and the clamp's
+            gradient is treated as identity. Disabled under upcast.
 
     Returns:
         (BH, Sq, D) attention output in q.dtype.
@@ -488,4 +526,7 @@ def flash_attention(
     if exp2:
         q = q * jnp.asarray(scale * LOG2E, q.dtype)
         scale = 1.0
-    return _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2)
+    if no_max is None:
+        no_max = os.environ.get("GMTPU_FLASH_NOMAX", "1") == "1"
+    no_max = no_max and exp2  # clamp bounds are derived for the log2 domain
+    return _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max)

@@ -67,6 +67,40 @@ class TestAttention:
         expected = jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(scores, -1), v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-4, atol=2e-5)
 
+    def test_flash_nomax_matches_online_max(self):
+        """Max-free clamped softmax (default) vs the running-max kernel.
+
+        no_max drops the per-tile row-max + alpha rescale; within the
+        clamp envelope ([-120, 80] log2-domain scores) both compute the
+        exact same softmax, fwd and bwd.
+        """
+        rng = np.random.RandomState(7)
+        q = jnp.asarray(rng.standard_normal((2, 320, 64)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 320, 64)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 320, 64)).astype(np.float32))
+        scale = 1 / 8.0
+
+        def loss(no_max):
+            def f(q, k, v):
+                out = flash_attention(
+                    q, k, v, scale=scale, interpret=True, no_max=no_max
+                )
+                return jnp.sum(out ** 2)
+            return jax.value_and_grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        (l0, g0), (l1, g1) = loss(False), loss(True)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+        # extreme logits (beyond the ±55-natural clamp) still finite and
+        # row-normalised — weights saturate instead of overflowing
+        out = flash_attention(
+            q * 100.0, k, v, scale=scale, interpret=True, no_max=True
+        )
+        assert bool(jnp.all(jnp.isfinite(out)))
+
     def test_flash_bf16_matches_einsum(self):
         """bf16 inputs take the bf16-MXU matmul path; parity at bf16 tolerance."""
         q, k, v = self._qkv(b=1, sq=160, sk=160, c=32)
