@@ -83,7 +83,8 @@ def _build_mask(qi, kj, block_q, block_k, kv_len, causal, *, interior):
 
 
 def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
-              block_q, block_k, interior, exp2=False, no_max=False):
+              block_q, block_k, interior, exp2=False, no_max=False,
+              fold_l=False):
     """One online-softmax update for a (block_q, block_k) score tile.
 
     With `exp2=True` the scores arrive pre-multiplied by log2(e) (folded
@@ -103,13 +104,27 @@ def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
 
     exp_fn = jnp.exp2 if exp2 else jnp.exp
     if no_max:
-        # clamped (max-free) softmax, log2 domain only: f32 exp2 holds
-        # [-126, 127], so clipping scores to [-120, 80] keeps l/acc in
-        # range for ANY input (l <= 2^15 * 2^80, acc ~ l * |v|) while the
-        # clamp only distorts weights beyond natural logits ~55 — far
-        # outside anything a GroupNorm'd model produces. Drops the
-        # per-tile max reduction AND the cross-block alpha rescale.
-        p = exp_fn(jnp.clip(s, -120.0, 80.0))
+        # clamped (max-free) softmax, log2 domain only: f32 exp2 holds up
+        # to 2^127, so an upper clamp at 80 keeps l/acc in range for ANY
+        # input (l <= 2^15 * 2^80, acc ~ l * |v|) while distorting weights
+        # only beyond natural logits ~55 — far outside anything a
+        # GroupNorm'd model produces. No lower clamp: exp2 underflows to
+        # an exact 0 (masked scores included). Drops the per-tile max
+        # reduction AND the cross-block alpha rescale.
+        p = exp_fn(jnp.minimum(s, 80.0))
+        if fold_l:
+            # ride the row-sum l on the PV matmul: at d % 128 != 0 the MXU
+            # lane tile has idle columns, so a ones-column appended to v
+            # computes l for free and the (block_q, block_k) VPU reduce
+            # disappears; acc's last column accumulates l.
+            vl = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1
+            )
+            acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+                p.astype(v.dtype), vl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return
         l_ref[...] = l_ref[...] + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -131,7 +146,7 @@ def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     *, scale, causal, kv_len, block_q, block_k, upcast=False, exp2=False,
-    no_max=False,
+    no_max=False, fold_l=False,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -151,6 +166,7 @@ def _fwd_kernel(
         _fwd_tile, q, k, v, qi, kj, m_ref, l_ref, acc_ref,
         scale=scale, causal=causal, kv_len=kv_len,
         block_q=block_q, block_k=block_k, exp2=exp2, no_max=no_max,
+        fold_l=fold_l,
     )
 
     if causal:
@@ -173,10 +189,16 @@ def _fwd_kernel(
 
     @pl.when(kj == num_k - 1)
     def _():
-        l_safe = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
         # log2-domain lse when exp2: consumed consistently by the backward
         log_fn = jnp.log2 if exp2 else jnp.log
+        if fold_l:
+            d = o_ref.shape[-1]
+            l_safe = jnp.maximum(acc_ref[:, d:], 1e-30)
+            o_ref[0] = (acc_ref[:, :d] / l_safe).astype(o_ref.dtype)
+            lse_ref[0, 0] = log_fn(l_safe)[:, 0]
+            return
+        l_safe = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
         if no_max:
             lse_ref[0, 0] = log_fn(l_safe)[:, 0]
         else:
@@ -191,7 +213,7 @@ def _dq_tile(q, k, v, do, lse, delta, qi, kj, acc_ref, *, scale, causal,
     if scale != 1.0:
         s = s * scale
     if no_max:
-        s = jnp.clip(s, -120.0, 80.0)  # mirror the forward's clamp
+        s = jnp.minimum(s, 80.0)  # mirror the forward's upper clamp
     # exp2 mode: s and lse are both in the log2 domain, p is exact softmax;
     # the missing d(softmax)/ds factor ln2 arrives via the do/delta prescale
     # in _flash_bwd, so ds (and hence dq/dk) needs no extra multiply here.
@@ -265,7 +287,7 @@ def _dkv_tile(q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref, *,
     if scale != 1.0:
         s = s * scale
     if no_max:
-        s = jnp.clip(s, -120.0, 80.0)
+        s = jnp.minimum(s, 80.0)
     p = (jnp.exp2 if exp2 else jnp.exp)(s - lse)
     mask = _build_mask(qi, kj, block_q, block_k, kv_len, causal, interior=interior)
     if mask is not None:
@@ -360,9 +382,14 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=
     qp, kp, vp = _pad_seq(q, sq_p), _pad_seq(k, sk_p), _pad_seq(v, sk_p)
 
     grid = (bh, sq_p // block_q, sk_p // block_k)
+    # at d % 128 != 0 the PV matmul's lane tile has idle columns, so l
+    # rides the MXU for free (ones-column on v); at full-lane widths the
+    # extra column would cost a whole new 128-lane tile — keep the VPU sum.
+    fold_l = no_max and d % 128 != 0
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, kv_len=sk, block_q=block_q,
         block_k=block_k, upcast=upcast, exp2=exp2, no_max=no_max,
+        fold_l=fold_l,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -381,7 +408,7 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=
             jax.ShapeDtypeStruct((bh, 1, sq_p), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, d + 1 if fold_l else d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
