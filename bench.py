@@ -133,7 +133,30 @@ def torch_cpu_baseline() -> float:
     return value
 
 
+def _ensure_backend(max_tries: int = 10, sleep_s: int = 90) -> None:
+    """Survive transient tunnel outages at measurement time.
+
+    The axon TPU tunnel can return UNAVAILABLE for minutes at a stretch
+    (observed 2026-08-17: even backend *init* fails while the pool
+    recovers). jax caches a failed backend init for the process lifetime,
+    so on failure we sleep and re-exec this script fresh, up to
+    ~max_tries*sleep_s seconds, before giving up.
+    """
+    try:
+        jax.devices()
+        float(jnp.zeros((), jnp.float32) + 1.0)
+        return
+    except Exception:
+        tries = int(os.environ.get("GMTPU_BENCH_TRIES", "0"))
+        if tries >= max_tries:
+            raise
+        time.sleep(sleep_s)
+        os.environ["GMTPU_BENCH_TRIES"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main() -> None:
+    _ensure_backend()
     value = measure_tpu_steps_per_sec()
     try:
         baseline = torch_cpu_baseline()
