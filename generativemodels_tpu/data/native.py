@@ -35,6 +35,8 @@ def load_library(build_if_missing: bool = True) -> ctypes.CDLL:
 
     lib.gmtpu_read_nifti.argtypes = [ctypes.c_char_p]
     lib.gmtpu_read_nifti.restype = ctypes.c_void_p
+    lib.gmtpu_read_image.argtypes = [ctypes.c_char_p]
+    lib.gmtpu_read_image.restype = ctypes.c_void_p
     lib.gmtpu_volume_ndim.argtypes = [ctypes.c_void_p]
     lib.gmtpu_volume_ndim.restype = ctypes.c_int
     lib.gmtpu_volume_shape.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
@@ -82,6 +84,33 @@ def read_nifti(path: str, native: bool = True) -> np.ndarray:
         except (OSError, subprocess.CalledProcessError):
             pass  # fall through to pure python
     return _read_nifti_py(path)
+
+
+def read_image(path: str, native: bool = True) -> np.ndarray:
+    """Decode a PNG/JPEG to float32 in [0, 1] ((H, W) or (H, W, C)).
+
+    Scaling is by the source bit depth (255 / 65535), matching
+    `data.pipeline._load_image`'s dtype-range normalization. Uses the
+    C++ decoders (libpng/libjpeg, GIL-free); falls back to PIL when the
+    native library is unavailable.
+    """
+    if native:
+        try:
+            lib = load_library()
+            handle = lib.gmtpu_read_image(path.encode())
+            if handle:
+                return _volume_to_array(lib, handle)
+            raise IOError(f"native image decode failed for {path}")
+        except (OSError, subprocess.CalledProcessError):
+            pass  # fall through to PIL
+    from PIL import Image
+
+    with Image.open(path) as im:
+        raw = np.asarray(im)
+    arr = raw.astype(np.float32)
+    if np.issubdtype(raw.dtype, np.integer):
+        arr = arr / float(np.iinfo(raw.dtype).max)
+    return arr
 
 
 def _read_nifti_py(path: str) -> np.ndarray:
@@ -133,10 +162,12 @@ def write_nifti(path: str, array: np.ndarray) -> None:
 
 
 class PrefetchNiftiLoader:
-    """Multi-threaded NIfTI prefetch loader (native worker pool).
+    """Multi-threaded prefetch loader (native worker pool).
 
-    Iterates float32 numpy volumes; IO and decompression run in C++
-    threads that stay ahead of the consumer by up to `max_queue` volumes.
+    Iterates float32 numpy arrays; IO, decompression and decoding run in
+    C++ threads that stay ahead of the consumer by up to `max_queue`
+    items. Workers dispatch per file by extension: .png/.jpg/.jpeg use
+    the libpng/libjpeg decoders, everything else the NIfTI reader.
     """
 
     def __init__(self, paths: list[str], num_workers: int = 4, max_queue: int = 8,
@@ -166,3 +197,8 @@ class PrefetchNiftiLoader:
             self.close()
         except Exception:
             pass
+
+
+# The loader dispatches by extension (NIfTI / PNG / JPEG) — keep the
+# historical name importable but prefer the format-neutral alias.
+PrefetchLoader = PrefetchNiftiLoader

@@ -66,6 +66,21 @@ def file_dataset(
         return
 
     if image_paths and not npy_paths and not nifti_paths:
+        native_decodable = all(
+            p.lower().endswith((".png", ".jpg", ".jpeg")) for p in image_paths
+        )
+        if native_decodable:
+            try:
+                from .native import PrefetchLoader
+
+                loader = PrefetchLoader(
+                    image_paths, num_workers=num_workers, loop=loop
+                )
+                yield from iter(loader)
+                return
+            except Exception:
+                pass  # no native toolchain: threaded PIL below
+
         from concurrent.futures import ThreadPoolExecutor
 
         def path_stream():

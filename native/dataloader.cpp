@@ -1,21 +1,30 @@
-// Native data pipeline: NIfTI-1 reader + multi-threaded prefetch loader.
+// Native data pipeline: NIfTI-1 + PNG/JPEG readers + threaded prefetch.
 //
 // TPU-native replacement for the IO layer the reference reaches through
-// torch DataLoader worker processes + nibabel (the reference itself has no
-// native sources; its native performance lives in dependencies —
+// torch DataLoader worker processes + nibabel/PIL (the reference itself
+// has no native sources; its native performance lives in dependencies —
 // SURVEY.md §2.9). This library provides:
 //   * a NIfTI-1 (.nii / .nii.gz) volume reader producing float32 buffers
+//   * PNG (8/16-bit gray/RGB/RGBA, palette) and JPEG (8-bit gray/RGB)
+//     decoders producing float32 in [0, 1] scaled by the source bit depth
+//     (the MedNIST-layout 2D path, GIL-free unlike PIL worker threads)
 //   * a worker-pool prefetch loader with a bounded ready-queue so host IO
-//     overlaps device compute
+//     overlaps device compute; workers dispatch per-file by extension
 // Exposed as a plain C API consumed from Python via ctypes
 // (generativemodels_tpu/data/native.py).
 //
 // Build: make -C native   (produces libgmtpu_data.so)
 
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+#include <png.h>
 #include <zlib.h>
 
 #include <atomic>
 #include <condition_variable>
+#include <csetjmp>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -153,6 +162,153 @@ Volume read_nifti(const std::string& path) {
 }
 
 // ---------------------------------------------------------------------------
+// PNG reading (libpng full API: no gamma/colorspace transforms, raw samples
+// scaled to [0, 1] by the source bit depth — matches data/pipeline.py's
+// dtype-range normalization contract)
+// ---------------------------------------------------------------------------
+
+Volume read_png(const std::string& path) {
+  Volume vol;
+  FILE* fp = std::fopen(path.c_str(), "rb");
+  if (!fp) {
+    vol.error = "cannot open: " + path;
+    return vol;
+  }
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info) {
+    if (png) png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    vol.error = "libpng init failed";
+    return vol;
+  }
+  std::vector<png_bytep> rows;  // declared before setjmp: destroyed on error
+  std::vector<uint8_t> buf;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    vol.error = "libpng decode error: " + path;
+    vol.ok = false;
+    return vol;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+
+  png_uint_32 width = png_get_image_width(png, info);
+  png_uint_32 height = png_get_image_height(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+  int color_type = png_get_color_type(png, info);
+
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (bit_depth == 16) png_set_swap(png);  // raw PNG is big-endian
+  png_read_update_info(png, info);
+
+  bit_depth = png_get_bit_depth(png, info);
+  int channels = png_get_channels(png, info);
+  size_t rowbytes = png_get_rowbytes(png, info);
+  buf.resize(rowbytes * height);
+  rows.resize(height);
+  for (png_uint_32 y = 0; y < height; ++y) rows[y] = buf.data() + y * rowbytes;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+
+  size_t count = static_cast<size_t>(width) * height * channels;
+  vol.data.resize(count);
+  if (bit_depth == 16) {
+    const uint16_t* src = reinterpret_cast<const uint16_t*>(buf.data());
+    for (size_t i = 0; i < count; ++i) vol.data[i] = src[i] * (1.0f / 65535.0f);
+  } else {
+    const uint8_t* src = buf.data();
+    for (size_t i = 0; i < count; ++i) vol.data[i] = src[i] * (1.0f / 255.0f);
+  }
+  vol.shape = {static_cast<int64_t>(height), static_cast<int64_t>(width)};
+  if (channels > 1) vol.shape.push_back(channels);
+  vol.ok = true;
+  return vol;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG reading (libjpeg; 8-bit gray/RGB)
+// ---------------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(err->jmp, 1);
+}
+
+Volume read_jpeg(const std::string& path) {
+  Volume vol;
+  FILE* fp = std::fopen(path.c_str(), "rb");
+  if (!fp) {
+    vol.error = "cannot open: " + path;
+    return vol;
+  }
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    vol.error = "libjpeg decode error: " + path;
+    vol.ok = false;
+    vol.data.clear();
+    return vol;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  jpeg_read_header(&cinfo, TRUE);
+  jpeg_start_decompress(&cinfo);
+
+  size_t width = cinfo.output_width;
+  size_t height = cinfo.output_height;
+  size_t channels = cinfo.output_components;
+  std::vector<uint8_t> row(width * channels);
+  vol.data.resize(width * height * channels);
+  uint8_t* rp = row.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    size_t y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    float* dst = vol.data.data() + y * width * channels;
+    for (size_t i = 0; i < width * channels; ++i) dst[i] = row[i] * (1.0f / 255.0f);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(fp);
+
+  vol.shape = {static_cast<int64_t>(height), static_cast<int64_t>(width)};
+  if (channels > 1) vol.shape.push_back(static_cast<int64_t>(channels));
+  vol.ok = true;
+  return vol;
+}
+
+bool ends_with(const std::string& s, const char* suffix) {
+  size_t n = std::strlen(suffix);
+  if (s.size() < n) return false;
+  for (size_t i = 0; i < n; ++i) {
+    char a = s[s.size() - n + i], b = suffix[i];
+    if (a >= 'A' && a <= 'Z') a += 32;
+    if (a != b) return false;
+  }
+  return true;
+}
+
+Volume read_any(const std::string& path) {
+  if (ends_with(path, ".png")) return read_png(path);
+  if (ends_with(path, ".jpg") || ends_with(path, ".jpeg")) return read_jpeg(path);
+  return read_nifti(path);
+}
+
+// ---------------------------------------------------------------------------
 // Threaded prefetch loader
 // ---------------------------------------------------------------------------
 
@@ -177,7 +333,11 @@ struct Loader {
         if (!loop) break;
         idx %= files.size();
       }
-      Volume v = read_nifti(files[idx % files.size()]);
+      Volume v = read_any(files[idx % files.size()]);
+      if (!v.ok) {  // skip unreadable files rather than emit garbage
+        std::fprintf(stderr, "[gmtpu_data] skipping: %s\n", v.error.c_str());
+        continue;
+      }
       std::unique_lock<std::mutex> lock(mu);
       cv_space.wait(lock, [&] { return ready.size() < max_queue || stop.load(); });
       if (stop.load()) break;
@@ -198,6 +358,17 @@ extern "C" {
 // Reads a NIfTI file; returns a handle (Volume*) or nullptr.
 void* gmtpu_read_nifti(const char* path) {
   Volume* v = new Volume(read_nifti(path));
+  if (!v->ok) {
+    delete v;
+    return nullptr;
+  }
+  return v;
+}
+
+// Reads a PNG/JPEG image (float32 in [0,1], (H, W) or (H, W, C)) or any
+// other supported format by extension; returns a Volume* handle or nullptr.
+void* gmtpu_read_image(const char* path) {
+  Volume* v = new Volume(read_any(path));
   if (!v->ok) {
     delete v;
     return nullptr;

@@ -155,3 +155,117 @@ class TestPipeline:
 
         with pytest.raises(FileNotFoundError):
             next(file_dataset("/nonexistent_dir_xyz"))
+
+
+class TestNativeImageDecode:
+    """C++ libpng/libjpeg decoders vs PIL (native/dataloader.cpp)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_lib(self):
+        from generativemodels_tpu.data import native
+
+        try:
+            native.load_library()
+        except Exception:
+            pytest.skip("native library unavailable")
+
+    def _pil_ref(self, path):
+        from PIL import Image
+
+        with Image.open(path) as im:
+            raw = np.asarray(im)
+        arr = raw.astype(np.float32)
+        if np.issubdtype(raw.dtype, np.integer):
+            arr = arr / float(np.iinfo(raw.dtype).max)
+        return arr
+
+    def test_png_gray8_rgb8_gray16(self, tmp_path):
+        from PIL import Image
+
+        from generativemodels_tpu.data.native import read_image
+
+        rng = np.random.RandomState(0)
+        cases = {
+            "g8.png": rng.randint(0, 256, (13, 9), dtype=np.uint8),
+            "rgb8.png": rng.randint(0, 256, (7, 11, 3), dtype=np.uint8),
+        }
+        for name, arr in cases.items():
+            Image.fromarray(arr).save(tmp_path / name)
+        Image.fromarray(
+            rng.randint(0, 65536, (6, 5), dtype=np.uint16), mode="I;16"
+        ).save(tmp_path / "g16.png")
+
+        for name in [*cases, "g16.png"]:
+            p = str(tmp_path / name)
+            out = read_image(p)
+            ref = self._pil_ref(p)
+            assert out.shape == ref.shape, name
+            np.testing.assert_allclose(out, ref, atol=1e-6, err_msg=name)
+
+    def test_png_palette(self, tmp_path):
+        from PIL import Image
+
+        from generativemodels_tpu.data.native import read_image
+
+        rng = np.random.RandomState(1)
+        im = Image.fromarray(
+            rng.randint(0, 256, (9, 9, 3), dtype=np.uint8)
+        ).convert("P", palette=Image.ADAPTIVE)
+        im.save(tmp_path / "pal.png")
+        out = read_image(str(tmp_path / "pal.png"))
+        # PIL decodes palette PNGs to indices; convert to RGB for the ref
+        with Image.open(tmp_path / "pal.png") as ref_im:
+            ref = np.asarray(ref_im.convert("RGB")).astype(np.float32) / 255.0
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_jpeg_gray_and_rgb(self, tmp_path):
+        from PIL import Image
+
+        from generativemodels_tpu.data.native import read_image
+
+        rng = np.random.RandomState(2)
+        Image.fromarray(rng.randint(0, 256, (16, 16), dtype=np.uint8)).save(
+            tmp_path / "g.jpg", quality=95
+        )
+        Image.fromarray(rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)).save(
+            tmp_path / "c.jpeg", quality=95
+        )
+        for name in ("g.jpg", "c.jpeg"):
+            p = str(tmp_path / name)
+            out = read_image(p)
+            ref = self._pil_ref(p)
+            assert out.shape == ref.shape, name
+            # same libjpeg under both decoders; allow 1-2 LSB of drift
+            np.testing.assert_allclose(out, ref, atol=2 / 255, err_msg=name)
+
+    def test_prefetch_loader_dispatches_images(self, tmp_path):
+        from PIL import Image
+
+        from generativemodels_tpu.data.native import PrefetchLoader
+
+        for i in range(5):
+            Image.fromarray(np.full((6, 6), 40 * i, np.uint8)).save(
+                tmp_path / f"i{i}.png"
+            )
+        loader = PrefetchLoader(
+            sorted(str(p) for p in tmp_path.glob("*.png")), num_workers=2
+        )
+        arrs = list(loader)
+        assert len(arrs) == 5
+        assert all(a.shape == (6, 6) and a.dtype == np.float32 for a in arrs)
+        vals = sorted(round(float(a[0, 0]) * 255) for a in arrs)
+        assert vals == [0, 40, 80, 120, 160]
+
+    def test_corrupt_file_skipped(self, tmp_path):
+        from PIL import Image
+
+        from generativemodels_tpu.data.native import PrefetchLoader
+
+        Image.fromarray(np.full((4, 4), 7, np.uint8)).save(tmp_path / "ok.png")
+        (tmp_path / "bad.png").write_bytes(b"not a png at all")
+        loader = PrefetchLoader(
+            [str(tmp_path / "bad.png"), str(tmp_path / "ok.png")], num_workers=1
+        )
+        arrs = list(loader)
+        assert len(arrs) == 1 and round(float(arrs[0][0, 0]) * 255) == 7
