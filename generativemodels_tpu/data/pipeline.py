@@ -36,14 +36,72 @@ def _load_image(path: str) -> np.ndarray:
     return arr
 
 
+def _epoch_iter(paths: list[str], num_workers: int) -> Iterator[np.ndarray]:
+    """One pass over `paths` (a single extension family, already ordered)."""
+    first = paths[0].lower()
+    if first.endswith(".npy"):
+        for p in paths:
+            yield np.load(p).astype(np.float32)
+        return
+
+    if first.endswith((".nii", ".nii.gz")) or all(
+        p.lower().endswith((".png", ".jpg", ".jpeg")) for p in paths
+    ):
+        try:
+            from .native import PrefetchLoader
+
+            # C++ worker pool: NIfTI decompression and PNG/JPEG decoding
+            # run GIL-free, bounded ready-queue ahead of the consumer
+            loader = PrefetchLoader(paths, num_workers=num_workers, loop=False)
+            yield from iter(loader)
+            return
+        except Exception:
+            if first.endswith((".nii", ".nii.gz")):
+                from .native import read_nifti
+
+                for p in paths:
+                    yield read_nifti(p)
+                return
+            # no native toolchain for images: threaded PIL below
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    # A deque of at most ~2*num_workers in-flight futures: decodes run
+    # ahead of the consumer (PIL releases the GIL in zlib) but never
+    # accumulate a whole epoch of float32 images in memory, and
+    # abandoning the generator leaves only the small window to drain.
+    window = max(2, 2 * num_workers)
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        futures: collections.deque = collections.deque()
+        try:
+            for p in paths:
+                futures.append(pool.submit(_load_image, p))
+                if len(futures) >= window:
+                    yield futures.popleft().result()
+            while futures:
+                yield futures.popleft().result()
+        finally:
+            for f in futures:
+                f.cancel()
+
+
 def file_dataset(
     data_dir: str,
     pattern: str = "*",
     num_workers: int = 4,
     loop: bool = True,
+    shuffle: bool = False,
+    seed: int = 0,
 ) -> Iterator[np.ndarray]:
-    """Yield float32 arrays from .nii/.nii.gz (native loader), .npy, or
-    2D image files (PNG/JPEG/... — e.g. MedNIST) with threaded decoding."""
+    """Yield float32 arrays from .nii/.nii.gz, PNG/JPEG (native C++
+    loader), .npy, or other 2D images (threaded PIL decoding).
+
+    With `shuffle=True` the file order is re-randomized every epoch from
+    `seed` + epoch index (the torch `DataLoader(shuffle=True)` role in
+    the reference tutorials, e.g. tutorials/generative/2d_ddpm/
+    2d_ddpm_tutorial.py) — deterministic given `seed`, so a restarted
+    run at a known epoch sees the same order.
+    """
     exts = (".nii", ".nii.gz", ".npy") + _IMAGE_EXTS
     paths = sorted(
         p for p in glob.glob(os.path.join(data_dir, pattern))
@@ -57,61 +115,19 @@ def file_dataset(
     nifti_paths = [p for p in paths if p.endswith((".nii", ".nii.gz"))]
     npy_paths = [p for p in paths if p.endswith(".npy")]
     image_paths = [p for p in paths if p.lower().endswith(_IMAGE_EXTS)]
+    # single-family dirs stream through the fast paths; mixed dirs use
+    # whichever family is non-empty in priority order (nifti > image > npy)
+    family = nifti_paths or image_paths or npy_paths
 
-    if nifti_paths and not npy_paths and not image_paths:
-        from .native import PrefetchNiftiLoader
-
-        loader = PrefetchNiftiLoader(nifti_paths, num_workers=num_workers, loop=loop)
-        yield from iter(loader)
-        return
-
-    if image_paths and not npy_paths and not nifti_paths:
-        native_decodable = all(
-            p.lower().endswith((".png", ".jpg", ".jpeg")) for p in image_paths
-        )
-        if native_decodable:
-            try:
-                from .native import PrefetchLoader
-
-                loader = PrefetchLoader(
-                    image_paths, num_workers=num_workers, loop=loop
-                )
-                yield from iter(loader)
-                return
-            except Exception:
-                pass  # no native toolchain: threaded PIL below
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        def path_stream():
-            while True:
-                yield from image_paths
-                if not loop:
-                    return
-
-        # A deque of at most ~2*num_workers in-flight futures: decodes run
-        # ahead of the consumer (PIL releases the GIL in zlib) but never
-        # accumulate a whole epoch of float32 images in memory, and
-        # abandoning the generator leaves only the small window to drain.
-        window = max(2, 2 * num_workers)
-        with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
-            futures: collections.deque = collections.deque()
-            stream = path_stream()
-            try:
-                for p in stream:
-                    futures.append(pool.submit(_load_image, p))
-                    if len(futures) >= window:
-                        yield futures.popleft().result()
-                while futures:
-                    yield futures.popleft().result()
-            finally:
-                for f in futures:
-                    f.cancel()
-        return
-
+    epoch = 0
     while True:
-        for p in npy_paths:
-            yield np.load(p).astype(np.float32)
+        epoch_paths = family
+        if shuffle:
+            rng = np.random.RandomState((seed + epoch) & 0x7FFFFFFF)
+            epoch_paths = list(family)
+            rng.shuffle(epoch_paths)
+        yield from _epoch_iter(epoch_paths, num_workers)
+        epoch += 1
         if not loop:
             return
 

@@ -86,7 +86,7 @@ def main() -> None:
     if args.data_dir:
         from ..data import batched, file_dataset, prefetch_to_device
 
-        source = batched(file_dataset(args.data_dir), args.batch)
+        source = batched(file_dataset(args.data_dir, shuffle=True), args.batch)
         data_iter = prefetch_to_device(
             (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
              for b in source),

@@ -121,7 +121,7 @@ def main(argv=None) -> None:
         from ..data import batched, file_dataset, prefetch_to_device
 
         shape = (args.batch, 1, args.size, args.size, args.size)
-        source = batched(file_dataset(args.data_dir), args.batch)
+        source = batched(file_dataset(args.data_dir, shuffle=True), args.batch)
         data_iter = prefetch_to_device(
             (jnp.asarray(b, jnp.float32).reshape(shape) for b in source), size=2
         )
