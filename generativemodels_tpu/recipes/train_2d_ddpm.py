@@ -51,6 +51,9 @@ def main() -> None:
     parser.add_argument("--data-parallel", action="store_true")
     parser.add_argument("--data-dir", type=str, default=None,
                         help=".nii/.nii.gz/.npy directory; synthetic blobs if omitted")
+    parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
+                        default="crop_pad",
+                        help="fit real-size samples to --size: center crop/zero-pad, interpolating resize, or none (shapes must already match)")
     parser.add_argument("--checkpoint-dir", type=str, default=None)
     parser.add_argument("--sample", action="store_true", help="sample after training")
     args = parser.parse_args()
@@ -86,7 +89,12 @@ def main() -> None:
     if args.data_dir:
         from ..data import batched, file_dataset, prefetch_to_device
 
-        source = batched(file_dataset(args.data_dir, shuffle=True), args.batch)
+        from ..data.transforms import fitted_stream
+
+        stream = fitted_stream(
+            file_dataset(args.data_dir, shuffle=True), (args.size,) * 2, args.fit
+        )
+        source = batched(stream, args.batch)
         data_iter = prefetch_to_device(
             (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
              for b in source),

@@ -58,6 +58,9 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--sample-steps", type=int, default=50)
     parser.add_argument("--data-dir", type=str, default=None,
                         help=".nii/.nii.gz/.npy volume directory; synthetic blobs if omitted")
+    parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
+                        default="crop_pad",
+                        help="fit real-size samples to --size: center crop/zero-pad, interpolating resize, or none (shapes must already match)")
     return parser
 
 
@@ -131,7 +134,12 @@ def main(argv=None):
         from ..data import batched, file_dataset, prefetch_to_device
 
         shape = (args.batch, 1, args.size, args.size, args.size)
-        source = batched(file_dataset(args.data_dir, shuffle=True), args.batch)
+        from ..data.transforms import fitted_stream
+
+        stream = fitted_stream(
+            file_dataset(args.data_dir, shuffle=True), (args.size,) * 3, args.fit
+        )
+        source = batched(stream, args.batch)
         data_iter = prefetch_to_device(
             (jnp.asarray(b, jnp.float32).reshape(shape) for b in source), size=2
         )

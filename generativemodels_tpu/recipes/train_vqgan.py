@@ -141,6 +141,9 @@ def main(argv=None) -> None:
     parser.add_argument("--fm-weight", type=float, default=1.0)
     parser.add_argument("--data-dir", type=str, default=None,
                         help="directory of .nii/.nii.gz/.npy images (native loader); synthetic blobs otherwise")
+    parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
+                        default="crop_pad",
+                        help="fit real-size samples to --size: center crop/zero-pad, interpolating resize, or none (shapes must already match)")
     args = parser.parse_args(argv)
 
     nd = args.spatial_dims
@@ -183,7 +186,12 @@ def main(argv=None) -> None:
         from ..data import batched, file_dataset, prefetch_to_device
 
         shape = (args.batch, 1) + (args.size,) * nd
-        source = batched(file_dataset(args.data_dir, shuffle=True), args.batch)
+        from ..data.transforms import fitted_stream
+
+        stream = fitted_stream(
+            file_dataset(args.data_dir, shuffle=True), (args.size,) * nd, args.fit
+        )
+        source = batched(stream, args.batch)
         data_iter = prefetch_to_device(
             (jnp.asarray(b, jnp.float32).reshape(shape) for b in source),
             size=2,

@@ -306,3 +306,58 @@ class TestShuffle:
             np.save(tmp_path / f"s{i}.npy", np.full((2, 2), i, np.float32))
         vals = [int(a[0, 0]) for a in file_dataset(str(tmp_path), loop=False)]
         assert vals == list(range(6))
+
+
+class TestTransforms:
+    """Host-side spatial/intensity fitting (data/transforms.py)."""
+
+    def test_center_crop_or_pad(self):
+        from generativemodels_tpu.data.transforms import center_crop_or_pad
+
+        a = np.arange(5 * 7, dtype=np.float32).reshape(5, 7)
+        out = center_crop_or_pad(a, (3, 9))
+        assert out.shape == (3, 9)
+        np.testing.assert_array_equal(out[:, 1:8], a[1:4])  # rows center-cropped
+        assert float(out[:, 0].sum()) == 0.0 and float(out[:, 8].sum()) == 0.0
+
+    def test_crop_pad_preserves_leading_dims(self):
+        from generativemodels_tpu.data.transforms import center_crop_or_pad
+
+        a = np.ones((2, 10, 10, 10), np.float32)  # (C, D, H, W)
+        out = center_crop_or_pad(a, (8, 12, 10))
+        assert out.shape == (2, 8, 12, 10)
+
+    def test_resize_linear(self):
+        from generativemodels_tpu.data.transforms import resize
+
+        a = np.linspace(0, 1, 16, dtype=np.float32).reshape(4, 4)
+        out = resize(a, (8, 8))
+        assert out.shape == (8, 8)
+        # linear resize of a linear ramp stays within range, monotone rows
+        assert float(out.min()) >= -1e-5 and float(out.max()) <= 1 + 1e-5
+        assert np.all(np.diff(out[4]) >= -1e-5)
+
+    def test_scale_intensity(self):
+        from generativemodels_tpu.data.transforms import scale_intensity
+
+        a = np.asarray([[10.0, 30.0], [20.0, 10.0]])
+        out = scale_intensity(a)
+        assert float(out.min()) == 0.0 and float(out.max()) == 1.0
+        flat = scale_intensity(np.full((3, 3), 5.0))
+        assert float(np.abs(flat).max()) == 0.0
+
+    def test_fit_sample_modes(self):
+        from generativemodels_tpu.data.transforms import fit_sample
+
+        a = np.random.RandomState(0).rand(24, 24, 15).astype(np.float32)
+        assert fit_sample(a, (16, 16, 16)).shape == (16, 16, 16)
+        assert fit_sample(a, (16, 16, 16), mode="resize").shape == (16, 16, 16)
+        with pytest.raises(ValueError):
+            fit_sample(a, (16, 16, 16), mode="bogus")
+
+    def test_fitted_stream_none_passthrough(self):
+        from generativemodels_tpu.data.transforms import fitted_stream
+
+        arrs = [np.ones((4, 4)), np.zeros((4, 4))]
+        out = list(fitted_stream(arrs, (4, 4), mode="none"))
+        assert all(o is a for o, a in zip(out, arrs))

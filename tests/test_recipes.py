@@ -436,3 +436,48 @@ class TestQualityPresets:
         assert -1.0 <= result["msssim"] <= 1.0
         assert -1.0 <= result["msssim_4g"] <= 1.0
         assert json.loads(out.read_text())["preset"].startswith("brain_3d_ldm")
+
+
+class TestDataFitting:
+    """--fit: real-size samples stream into fixed-shape jitted steps
+    (reference route: MONAI ScaleIntensity + CenterSpatialCrop/Resize,
+    tutorials/generative/3d_ddpm/3d_ddpm_tutorial.py)."""
+
+    def _run(self, module, argv):
+        import sys
+        from unittest import mock
+
+        with mock.patch.object(sys, "argv", ["prog"] + argv):
+            module.main()
+
+    def test_train_3d_ddpm_fits_brats_like_volumes(self, tmp_path):
+        import numpy as np
+
+        from generativemodels_tpu.recipes import train_3d_ddpm
+
+        # volumes deliberately NOT matching --size (like BraTS 240x240x155)
+        for i in range(2):
+            np.save(tmp_path / f"vol_{i}.npy",
+                    np.random.RandomState(i).rand(20, 24, 11).astype(np.float32))
+        self._run(train_3d_ddpm, [
+            "--steps", "2", "--batch", "2", "--size", "16",
+            "--channels", "8", "8", "--norm-groups", "8",
+            "--head-channels", "8", "--dtype", "f32",
+            "--data-dir", str(tmp_path),
+        ])
+
+    def test_train_2d_ddpm_resize_fit(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        from generativemodels_tpu.recipes import train_2d_ddpm
+
+        for i in range(2):
+            Image.fromarray(
+                np.random.RandomState(i).randint(0, 256, (28, 28), np.uint8)
+            ).save(tmp_path / f"i{i}.png")
+        self._run(train_2d_ddpm, [
+            "--steps", "2", "--batch", "2", "--size", "16",
+            "--channels", "8", "8", "--norm-groups", "8",
+            "--fit", "resize", "--data-dir", str(tmp_path),
+        ])
