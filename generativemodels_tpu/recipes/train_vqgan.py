@@ -144,6 +144,9 @@ def main(argv=None) -> None:
     parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
                         default="crop_pad",
                         help="fit real-size samples to --size: center crop/zero-pad, interpolating resize, or none (shapes must already match)")
+    parser.add_argument("--augment", action="store_true",
+                        help="tutorial-default RandAffine augmentation (rotate ±5°, "
+                        "translate ±1px, scale ±5%%, prob 0.5)")
     args = parser.parse_args(argv)
 
     nd = args.spatial_dims
@@ -186,11 +189,18 @@ def main(argv=None) -> None:
         from ..data import batched, file_dataset, prefetch_to_device
 
         shape = (args.batch, 1) + (args.size,) * nd
-        from ..data.transforms import fitted_stream
+        from ..data.transforms import augmented_stream, fitted_stream
 
         stream = fitted_stream(
             file_dataset(args.data_dir, shuffle=True), (args.size,) * nd, args.fit
         )
+        if args.augment:
+            import numpy as np
+
+            stream = augmented_stream(
+                stream, seed=0, rotate_range=np.pi / 36, translate_range=1.0,
+                scale_range=0.05, prob=0.5, spatial_dims=nd,
+            )
         source = batched(stream, args.batch)
         data_iter = prefetch_to_device(
             (jnp.asarray(b, jnp.float32).reshape(shape) for b in source),

@@ -361,3 +361,98 @@ class TestTransforms:
         arrs = [np.ones((4, 4)), np.zeros((4, 4))]
         out = list(fitted_stream(arrs, (4, 4), mode="none"))
         assert all(o is a for o, a in zip(out, arrs))
+
+
+class TestRandAffine:
+    """Random affine augmentation (reference RandAffined,
+    tutorials/generative/2d_ddpm/2d_ddpm_tutorial.py:115-123)."""
+
+    def test_identity_params_exact(self):
+        from generativemodels_tpu.data.transforms import rand_affine
+
+        a = np.random.RandomState(0).rand(8, 8).astype(np.float32)
+        out = rand_affine(a, np.random.default_rng(0), prob=1.0)
+        np.testing.assert_allclose(out, a, atol=1e-6)
+
+    def test_prob_zero_passthrough(self):
+        from generativemodels_tpu.data.transforms import rand_affine
+
+        a = np.random.RandomState(0).rand(8, 8).astype(np.float32)
+        out = rand_affine(a, np.random.default_rng(0), rotate_range=1.0, prob=0.0)
+        np.testing.assert_array_equal(out, a)
+
+    def test_pure_translation_shifts_pixels(self):
+        from generativemodels_tpu.data.transforms import rand_affine
+
+        a = np.zeros((9, 9), np.float32)
+        a[4, 4] = 1.0
+        # translate_range with a degenerate (lo==hi) pair pins the shift
+        out = rand_affine(a, np.random.default_rng(0),
+                          translate_range=[(2.0, 2.0), (0.0, 0.0)], prob=1.0)
+        assert out[6, 4] == pytest.approx(1.0, abs=1e-5)
+        assert out[4, 4] == pytest.approx(0.0, abs=1e-5)
+
+    def test_rotation_90_about_center(self):
+        from generativemodels_tpu.data.transforms import rand_affine
+
+        a = np.zeros((9, 9), np.float32)
+        a[4, 7] = 1.0  # 3 px right of center
+        half_pi = np.pi / 2
+        out = rand_affine(a, np.random.default_rng(0),
+                          rotate_range=[(half_pi, half_pi)], prob=1.0)
+        # forward rot by +90deg, R=[[c,-s],[s,c]] on (row, col) offsets:
+        # (0, +3) -> (-3, 0), i.e. 3 px above center
+        assert out[1, 4] == pytest.approx(1.0, abs=1e-4)
+
+    def test_channels_share_one_affine(self):
+        from generativemodels_tpu.data.transforms import rand_affine
+
+        a = np.random.RandomState(1).rand(6, 6).astype(np.float32)
+        stacked = np.stack([a, a])  # (C=2, H, W)
+        out = rand_affine(stacked, np.random.default_rng(3),
+                          rotate_range=0.4, translate_range=1.0,
+                          scale_range=0.1, prob=1.0, spatial_dims=2)
+        assert out.shape == stacked.shape
+        np.testing.assert_allclose(out[0], out[1], atol=1e-6)
+
+    def test_3d_rotation_preserves_shape_and_mass(self):
+        from generativemodels_tpu.data.transforms import rand_affine
+
+        a = np.zeros((10, 10, 10), np.float32)
+        a[3:7, 3:7, 3:7] = 1.0
+        out = rand_affine(a, np.random.default_rng(0),
+                          rotate_range=np.pi / 18, prob=1.0)
+        assert out.shape == a.shape
+        # small interior rotation nearly conserves total intensity
+        assert float(out.sum()) == pytest.approx(float(a.sum()), rel=0.02)
+
+    def test_stream_deterministic_per_seed(self):
+        from generativemodels_tpu.data.transforms import augmented_stream
+
+        arrs = [np.random.RandomState(i).rand(8, 8).astype(np.float32)
+                for i in range(4)]
+        kw = dict(rotate_range=0.2, translate_range=1.0, scale_range=0.05)
+        o1 = list(augmented_stream(iter(arrs), seed=7, **kw))
+        o2 = list(augmented_stream(iter(arrs), seed=7, **kw))
+        o3 = list(augmented_stream(iter(arrs), seed=8, **kw))
+        for x, y in zip(o1, o2):
+            np.testing.assert_array_equal(x, y)
+        assert any(not np.array_equal(x, y) for x, y in zip(o1, o3))
+
+    def test_rand_spatial_crop(self):
+        from generativemodels_tpu.data.transforms import rand_spatial_crop
+
+        a = np.arange(12 * 10, dtype=np.float32).reshape(12, 10)
+        rng = np.random.default_rng(0)
+        outs = {rand_spatial_crop(a, rng, (4, 4)).tobytes() for _ in range(8)}
+        out = rand_spatial_crop(a, rng, (4, 4))
+        assert out.shape == (4, 4)
+        assert len(outs) > 1  # position actually varies
+        # every crop is a contiguous window of the source
+        assert np.isin(out, a).all()
+
+    def test_rand_affine_rejects_bad_rank(self):
+        from generativemodels_tpu.data.transforms import rand_affine
+
+        with pytest.raises(ValueError):
+            rand_affine(np.zeros(5, np.float32), np.random.default_rng(0))

@@ -481,3 +481,19 @@ class TestDataFitting:
             "--channels", "8", "8", "--norm-groups", "8",
             "--fit", "resize", "--data-dir", str(tmp_path),
         ])
+
+    def test_train_2d_ddpm_augmented(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        from generativemodels_tpu.recipes import train_2d_ddpm
+
+        for i in range(2):
+            Image.fromarray(
+                np.random.RandomState(i).randint(0, 256, (16, 16), np.uint8)
+            ).save(tmp_path / f"i{i}.png")
+        self._run(train_2d_ddpm, [
+            "--steps", "2", "--batch", "2", "--size", "16",
+            "--channels", "8", "8", "--norm-groups", "8",
+            "--augment", "--data-dir", str(tmp_path),
+        ])
