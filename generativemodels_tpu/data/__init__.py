@@ -1,5 +1,11 @@
 from .native import PrefetchNiftiLoader, load_library, read_nifti, write_nifti
-from .pipeline import batched, file_dataset, prefetch_to_device
+from .pipeline import (
+    batched,
+    cached_dataset,
+    file_dataset,
+    prefetch_to_device,
+    training_stream,
+)
 
 __all__ = [
     "PrefetchNiftiLoader",
@@ -7,6 +13,8 @@ __all__ = [
     "read_nifti",
     "write_nifti",
     "batched",
+    "cached_dataset",
     "file_dataset",
     "prefetch_to_device",
+    "training_stream",
 ]

@@ -132,6 +132,82 @@ def file_dataset(
             return
 
 
+def cached_dataset(
+    source: Iterable[np.ndarray],
+    shuffle: bool = True,
+    seed: int = 0,
+    loop: bool = True,
+    max_bytes: int | None = 8 * 2**30,
+) -> Iterator[np.ndarray]:
+    """Materialise a finite sample stream in host RAM once, then re-yield
+    it every epoch without re-decoding (the reference CacheDataset role,
+    tutorials/generative/2d_ddpm/2d_ddpm_tutorial.py:126).
+
+    `source` must be finite (e.g. `file_dataset(..., loop=False)`) and
+    should contain only *deterministic* preprocessing — cache after
+    `fitted_stream`, before `augmented_stream`, so per-epoch random
+    augmentation stays fresh (MONAI caches the deterministic prefix of
+    the transform chain the same way). Epoch order is reshuffled from
+    `seed` + epoch index; `max_bytes` guards against accidentally caching
+    a larger-than-RAM dataset (None disables the guard).
+    """
+    samples: list[np.ndarray] = []
+    total = 0
+    for a in source:
+        a = np.asarray(a)
+        total += a.nbytes
+        if max_bytes is not None and total > max_bytes:
+            raise MemoryError(
+                f"cached_dataset exceeds max_bytes={max_bytes} after "
+                f"{len(samples) + 1} samples; raise the limit or stream "
+                "with file_dataset(shuffle=True) instead"
+            )
+        samples.append(a)
+    if not samples:
+        raise ValueError("cached_dataset: source yielded no samples")
+    epoch = 0
+    while True:
+        order = np.arange(len(samples))
+        if shuffle:
+            np.random.RandomState((seed + epoch) & 0x7FFFFFFF).shuffle(order)
+        for i in order:
+            yield samples[i]
+        epoch += 1
+        if not loop:
+            return
+
+
+def training_stream(
+    data_dir: str,
+    shape,
+    fit: str = "crop_pad",
+    cache: bool = False,
+    augment: bool = False,
+    seed: int = 0,
+) -> Iterator[np.ndarray]:
+    """The full host-side training stream the recipes share: decode ->
+    fit to `shape` -> (optional) RAM cache -> (optional) tutorial-default
+    random affine (rotate ±pi/36, translate ±1 px, scale ±5%, prob 0.5 —
+    tutorials/generative/2d_ddpm/2d_ddpm_tutorial.py:115-123)."""
+    from .transforms import augmented_stream, fitted_stream
+
+    if cache:
+        stream: Iterator[np.ndarray] = cached_dataset(
+            fitted_stream(file_dataset(data_dir, loop=False), shape, fit),
+            shuffle=True, seed=seed,
+        )
+    else:
+        stream = fitted_stream(
+            file_dataset(data_dir, shuffle=True, seed=seed), shape, fit
+        )
+    if augment:
+        stream = augmented_stream(
+            stream, seed=seed, rotate_range=np.pi / 36, translate_range=1.0,
+            scale_range=0.05, prob=0.5, spatial_dims=len(tuple(shape)),
+        )
+    return stream
+
+
 def batched(source: Iterable[np.ndarray], batch_size: int) -> Iterator[np.ndarray]:
     """Stack fixed-shape samples into (B, ...) batches (drops remainder)."""
     buf = []

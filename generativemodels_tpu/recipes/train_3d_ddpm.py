@@ -79,6 +79,9 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--augment", action="store_true",
                         help="tutorial-default RandAffine augmentation (rotate ±5°, "
                         "translate ±1px, scale ±5%%, prob 0.5)")
+    parser.add_argument("--cache", action="store_true",
+                        help="decode+fit once and cache samples in host RAM "
+                        "(reference CacheDataset)")
     parser.add_argument("--checkpoint-dir", type=str, default=None)
     parser.add_argument("--sample", action="store_true", help="sample after training")
     parser.add_argument("--sample-steps", type=int, default=50,
@@ -124,21 +127,13 @@ def main(argv=None) -> None:
 
     data_iter = None
     if args.data_dir:
-        from ..data import batched, file_dataset, prefetch_to_device
+        from ..data import batched, prefetch_to_device, training_stream
 
         shape = (args.batch, 1, args.size, args.size, args.size)
-        from ..data.transforms import augmented_stream, fitted_stream
-
-        stream = fitted_stream(
-            file_dataset(args.data_dir, shuffle=True), (args.size,) * 3, args.fit
+        stream = training_stream(
+            args.data_dir, (args.size,) * 3, args.fit,
+            cache=args.cache, augment=args.augment,
         )
-        if args.augment:
-            import numpy as np
-
-            stream = augmented_stream(
-                stream, seed=0, rotate_range=np.pi / 36, translate_range=1.0,
-                scale_range=0.05, prob=0.5, spatial_dims=3,
-            )
         source = batched(stream, args.batch)
         data_iter = prefetch_to_device(
             (jnp.asarray(b, jnp.float32).reshape(shape) for b in source), size=2

@@ -147,6 +147,9 @@ def main(argv=None) -> None:
     parser.add_argument("--augment", action="store_true",
                         help="tutorial-default RandAffine augmentation (rotate ±5°, "
                         "translate ±1px, scale ±5%%, prob 0.5)")
+    parser.add_argument("--cache", action="store_true",
+                        help="decode+fit once and cache samples in host RAM "
+                        "(reference CacheDataset)")
     args = parser.parse_args(argv)
 
     nd = args.spatial_dims
@@ -186,21 +189,13 @@ def main(argv=None) -> None:
 
     data_iter = None
     if args.data_dir:
-        from ..data import batched, file_dataset, prefetch_to_device
+        from ..data import batched, prefetch_to_device, training_stream
 
         shape = (args.batch, 1) + (args.size,) * nd
-        from ..data.transforms import augmented_stream, fitted_stream
-
-        stream = fitted_stream(
-            file_dataset(args.data_dir, shuffle=True), (args.size,) * nd, args.fit
+        stream = training_stream(
+            args.data_dir, (args.size,) * nd, args.fit,
+            cache=args.cache, augment=args.augment,
         )
-        if args.augment:
-            import numpy as np
-
-            stream = augmented_stream(
-                stream, seed=0, rotate_range=np.pi / 36, translate_range=1.0,
-                scale_range=0.05, prob=0.5, spatial_dims=nd,
-            )
         source = batched(stream, args.batch)
         data_iter = prefetch_to_device(
             (jnp.asarray(b, jnp.float32).reshape(shape) for b in source),

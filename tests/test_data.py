@@ -456,3 +456,66 @@ class TestRandAffine:
 
         with pytest.raises(ValueError):
             rand_affine(np.zeros(5, np.float32), np.random.default_rng(0))
+
+
+class TestCachedDataset:
+    """RAM-cached epochs (reference CacheDataset,
+    tutorials/generative/2d_ddpm/2d_ddpm_tutorial.py:126)."""
+
+    def test_source_consumed_once(self):
+        from generativemodels_tpu.data import cached_dataset
+
+        pulls = []
+
+        def source():
+            for i in range(4):
+                pulls.append(i)
+                yield np.full((2, 2), i, np.float32)
+
+        it = cached_dataset(source(), shuffle=False)
+        first = [int(next(it)[0, 0]) for _ in range(12)]  # 3 epochs
+        assert pulls == [0, 1, 2, 3]  # decoded exactly once
+        assert first == [0, 1, 2, 3] * 3
+
+    def test_reshuffles_per_epoch_deterministically(self):
+        from generativemodels_tpu.data import cached_dataset
+
+        arrs = [np.full((1,), i, np.float32) for i in range(8)]
+        def epochs(seed):
+            it = cached_dataset(iter(arrs), shuffle=True, seed=seed)
+            return [[int(next(it)[0]) for _ in range(8)] for _ in range(3)]
+
+        e = epochs(3)
+        assert all(sorted(ep) == list(range(8)) for ep in e)
+        assert e[0] != e[1] or e[1] != e[2]  # order changes across epochs
+        assert epochs(3) == e  # and is reproducible per seed
+
+    def test_max_bytes_guard(self):
+        from generativemodels_tpu.data import cached_dataset
+
+        src = (np.zeros((64, 64), np.float32) for _ in range(4))
+        with pytest.raises(MemoryError):
+            next(cached_dataset(src, max_bytes=3 * 64 * 64 * 4))
+
+    def test_loop_false_single_epoch(self):
+        from generativemodels_tpu.data import cached_dataset
+
+        out = list(cached_dataset(iter([np.ones(2)] * 3), shuffle=False, loop=False))
+        assert len(out) == 3
+
+    def test_empty_source_raises(self):
+        from generativemodels_tpu.data import cached_dataset
+
+        with pytest.raises(ValueError):
+            next(cached_dataset(iter([])))
+
+    def test_training_stream_cache_and_augment(self, tmp_path):
+        from generativemodels_tpu.data import training_stream
+
+        for i in range(3):
+            np.save(tmp_path / f"v{i}.npy",
+                    np.random.RandomState(i).rand(10, 12).astype(np.float32))
+        it = training_stream(str(tmp_path), (8, 8), cache=True, augment=True)
+        got = [next(it) for _ in range(6)]
+        assert all(g.shape == (8, 8) for g in got)
+        assert all(np.isfinite(g).all() for g in got)

@@ -497,3 +497,17 @@ class TestDataFitting:
             "--channels", "8", "8", "--norm-groups", "8",
             "--augment", "--data-dir", str(tmp_path),
         ])
+
+    def test_train_2d_ddpm_cached(self, tmp_path):
+        import numpy as np
+
+        from generativemodels_tpu.recipes import train_2d_ddpm
+
+        for i in range(3):
+            np.save(tmp_path / f"s{i}.npy",
+                    np.random.RandomState(i).rand(16, 16).astype(np.float32))
+        self._run(train_2d_ddpm, [
+            "--steps", "3", "--batch", "2", "--size", "16",
+            "--channels", "8", "8", "--norm-groups", "8",
+            "--cache", "--augment", "--data-dir", str(tmp_path),
+        ])
