@@ -133,26 +133,51 @@ def torch_cpu_baseline() -> float:
     return value
 
 
-def _ensure_backend(max_tries: int = 10, sleep_s: int = 90) -> None:
+def _probe_device(timeout_s: int = 120) -> bool:
+    """First-touch the backend in a SUBPROCESS with a hard timeout.
+
+    In the tunnel's total-outage mode (observed 2026-08-17) backend init
+    doesn't fail fast — it *hangs* ~20 min in-process before returning
+    UNAVAILABLE. A bounded subprocess probe turns that into a 2-minute
+    check per attempt.
+    """
+    import signal
+    import subprocess
+
+    code = "import jax, jax.numpy as jnp; jax.devices(); print(float(jnp.zeros(()) + 1.0))"
+    # DEVNULL + start_new_session: a killed probe must not leave us
+    # draining pipes held open by tunnel-helper grandchildren
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                            start_new_session=True)
+    try:
+        return proc.wait(timeout=timeout_s) == 0
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        proc.wait()
+        return False
+
+
+def _ensure_backend(max_tries: int = 15, sleep_s: int = 75) -> None:
     """Survive transient tunnel outages at measurement time.
 
-    The axon TPU tunnel can return UNAVAILABLE for minutes at a stretch
-    (observed 2026-08-17: even backend *init* fails while the pool
-    recovers). jax caches a failed backend init for the process lifetime,
-    so on failure we sleep and re-exec this script fresh, up to
-    ~max_tries*sleep_s seconds, before giving up.
+    The axon TPU tunnel can return UNAVAILABLE (or hang init) for tens of
+    minutes at a stretch. jax caches a failed backend init for the
+    process lifetime, so on a failed bounded probe we sleep and re-exec
+    this script fresh — up to ~max_tries*(sleep_s+probe timeout), ~50 min
+    — before proceeding and letting the in-process init try its luck.
     """
-    try:
-        jax.devices()
-        float(jnp.zeros((), jnp.float32) + 1.0)
+    if _probe_device():
         return
-    except Exception:
-        tries = int(os.environ.get("GMTPU_BENCH_TRIES", "0"))
-        if tries >= max_tries:
-            raise
-        time.sleep(sleep_s)
-        os.environ["GMTPU_BENCH_TRIES"] = str(tries + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    tries = int(os.environ.get("GMTPU_BENCH_TRIES", "0"))
+    if tries >= max_tries:
+        return  # last resort: attempt in-process; main() reports any error
+    time.sleep(sleep_s)
+    os.environ["GMTPU_BENCH_TRIES"] = str(tries + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def main() -> None:

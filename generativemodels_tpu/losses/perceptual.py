@@ -40,9 +40,11 @@ _LPIPS_NETS = {
     "squeeze": SqueezeNetFeatures,
 }
 
-# ImageNet normalisation used by the LPIPS scaling layer
-_LPIPS_SHIFT = jnp.asarray([-0.030, -0.088, -0.188])
-_LPIPS_SCALE = jnp.asarray([0.458, 0.448, 0.450])
+# ImageNet normalisation used by the LPIPS scaling layer. Plain tuples:
+# module-level jnp arrays would initialise the backend at import time
+# (hanging every `import generativemodels_tpu` when the TPU is unreachable)
+_LPIPS_SHIFT = (-0.030, -0.088, -0.188)
+_LPIPS_SCALE = (0.458, 0.448, 0.450)
 
 
 class _LPIPSBackend:
@@ -64,8 +66,10 @@ class _LPIPSBackend:
 
     def __call__(self, input_cl: jnp.ndarray, target_cl: jnp.ndarray) -> jnp.ndarray:
         # LPIPS input scaling (images in [-1, 1])
-        x = (input_cl - _LPIPS_SHIFT) / _LPIPS_SCALE
-        y = (target_cl - _LPIPS_SHIFT) / _LPIPS_SCALE
+        shift = jnp.asarray(_LPIPS_SHIFT)
+        scale = jnp.asarray(_LPIPS_SCALE)
+        x = (input_cl - shift) / scale
+        y = (target_cl - shift) / scale
         feats_x = self.module.apply({"params": self.params}, x)
         feats_y = self.module.apply({"params": self.params}, y)
         total = 0.0
