@@ -25,14 +25,35 @@ def _build_library() -> None:
 
 
 def load_library(build_if_missing: bool = True) -> ctypes.CDLL:
-    """Load (building on first use) the native data library."""
+    """Load (building on first use) the native data library.
+
+    A stale previously-built library missing newer symbols triggers one
+    rebuild (the .so existing is not proof it is current); the rebuilt
+    file is loaded under a unique temp path since dlopen may dedup an
+    in-place rewrite against the already-open stale handle.
+    """
     global _lib
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH) and build_if_missing:
         _build_library()
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        _lib = _bind_symbols(ctypes.CDLL(_LIB_PATH))
+    except AttributeError:
+        if not build_if_missing:
+            raise
+        _build_library()
+        import shutil
+        import tempfile
 
+        tmp = tempfile.NamedTemporaryFile(suffix=".so", delete=False)
+        tmp.close()
+        shutil.copy2(_LIB_PATH, tmp.name)
+        _lib = _bind_symbols(ctypes.CDLL(tmp.name))
+    return _lib
+
+
+def _bind_symbols(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.gmtpu_read_nifti.argtypes = [ctypes.c_char_p]
     lib.gmtpu_read_nifti.restype = ctypes.c_void_p
     lib.gmtpu_read_image.argtypes = [ctypes.c_char_p]
@@ -51,7 +72,6 @@ def load_library(build_if_missing: bool = True) -> ctypes.CDLL:
     lib.gmtpu_loader_next.argtypes = [ctypes.c_void_p]
     lib.gmtpu_loader_next.restype = ctypes.c_void_p
     lib.gmtpu_loader_destroy.argtypes = [ctypes.c_void_p]
-    _lib = lib
     return lib
 
 
@@ -81,7 +101,7 @@ def read_nifti(path: str, native: bool = True) -> np.ndarray:
             if handle:
                 return _volume_to_array(lib, handle)
             raise IOError(f"native NIfTI reader failed for {path}")
-        except (OSError, subprocess.CalledProcessError):
+        except (OSError, subprocess.CalledProcessError, AttributeError):
             pass  # fall through to pure python
     return _read_nifti_py(path)
 
@@ -101,8 +121,15 @@ def read_image(path: str, native: bool = True) -> np.ndarray:
             if handle:
                 return _volume_to_array(lib, handle)
             raise IOError(f"native image decode failed for {path}")
-        except (OSError, subprocess.CalledProcessError):
+        except (OSError, subprocess.CalledProcessError, AttributeError):
             pass  # fall through to PIL
+    return _pil_decode(path)
+
+
+def _pil_decode(path: str) -> np.ndarray:
+    """Canonical PIL decode: float32, scaled by the source dtype's range
+    (np.iinfo for integer modes) so near-black uint8 and 16-bit images
+    land in a consistent [0, 1]."""
     from PIL import Image
 
     with Image.open(path) as im:

@@ -24,16 +24,12 @@ def _load_image(path: str) -> np.ndarray:
 
     Scaling uses the *source dtype's* range (np.iinfo for integer modes),
     not the observed pixel max, so near-black uint8 images and 16-bit
-    PNG/TIFF both land in a consistent [0, 1].
+    PNG/TIFF both land in a consistent [0, 1]. One canonical
+    implementation, shared with `native.read_image`'s PIL fallback.
     """
-    from PIL import Image
+    from .native import _pil_decode
 
-    with Image.open(path) as im:
-        raw = np.asarray(im)
-    arr = raw.astype(np.float32)
-    if np.issubdtype(raw.dtype, np.integer):
-        arr = arr / float(np.iinfo(raw.dtype).max)
-    return arr
+    return _pil_decode(path)
 
 
 def _epoch_iter(paths: list[str], num_workers: int) -> Iterator[np.ndarray]:
@@ -47,15 +43,22 @@ def _epoch_iter(paths: list[str], num_workers: int) -> Iterator[np.ndarray]:
     if first.endswith((".nii", ".nii.gz")) or all(
         p.lower().endswith((".png", ".jpg", ".jpeg")) for p in paths
     ):
+        yielded = False
         try:
             from .native import PrefetchLoader
 
             # C++ worker pool: NIfTI decompression and PNG/JPEG decoding
             # run GIL-free, bounded ready-queue ahead of the consumer
             loader = PrefetchLoader(paths, num_workers=num_workers, loop=False)
-            yield from iter(loader)
+            for arr in loader:
+                yielded = True
+                yield arr
             return
         except Exception:
+            if yielded:
+                # mid-epoch failure: restarting from paths[0] would
+                # silently duplicate already-yielded samples
+                raise
             if first.endswith((".nii", ".nii.gz")):
                 from .native import read_nifti
 
@@ -126,7 +129,15 @@ def file_dataset(
             rng = np.random.RandomState((seed + epoch) & 0x7FFFFFFF)
             epoch_paths = list(family)
             rng.shuffle(epoch_paths)
-        yield from _epoch_iter(epoch_paths, num_workers)
+        count = 0
+        for arr in _epoch_iter(epoch_paths, num_workers):
+            count += 1
+            yield arr
+        if count == 0:
+            # every file failed to decode: looping would spin forever
+            raise IOError(
+                f"no readable samples among {len(family)} files in {data_dir}"
+            )
         epoch += 1
         if not loop:
             return
@@ -189,21 +200,25 @@ def training_stream(
     fit to `shape` -> (optional) RAM cache -> (optional) tutorial-default
     random affine (rotate ±pi/36, translate ±1 px, scale ±5%, prob 0.5 —
     tutorials/generative/2d_ddpm/2d_ddpm_tutorial.py:115-123)."""
-    from .transforms import augmented_stream, fitted_stream
+    from .transforms import augmented_stream, ensure_channel_first, fitted_stream
+
+    nd = len(tuple(shape))
+
+    def _fitted(source):
+        return fitted_stream(
+            (ensure_channel_first(a, nd) for a in source), shape, fit
+        )
 
     if cache:
         stream: Iterator[np.ndarray] = cached_dataset(
-            fitted_stream(file_dataset(data_dir, loop=False), shape, fit),
-            shuffle=True, seed=seed,
+            _fitted(file_dataset(data_dir, loop=False)), shuffle=True, seed=seed,
         )
     else:
-        stream = fitted_stream(
-            file_dataset(data_dir, shuffle=True, seed=seed), shape, fit
-        )
+        stream = _fitted(file_dataset(data_dir, shuffle=True, seed=seed))
     if augment:
         stream = augmented_stream(
             stream, seed=seed, rotate_range=np.pi / 36, translate_range=1.0,
-            scale_range=0.05, prob=0.5, spatial_dims=len(tuple(shape)),
+            scale_range=0.05, prob=0.5, spatial_dims=nd,
         )
     return stream
 

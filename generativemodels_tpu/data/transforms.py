@@ -26,6 +26,21 @@ def scale_intensity(arr: np.ndarray, out_min: float = 0.0, out_max: float = 1.0)
     return (arr - lo) / (hi - lo) * (out_max - out_min) + out_min
 
 
+def ensure_channel_first(arr: np.ndarray, spatial_dims: int) -> np.ndarray:
+    """Move a small trailing channel axis to the front (reference
+    EnsureChannelFirst). Image decoders yield (H, W) or channels-LAST
+    (H, W, C); all fitting/augmentation here treats *leading* axes as
+    channels, so an RGB(A) PNG would otherwise have its channel axis
+    cropped/padded/interpolated as if it were spatial. Arrays already
+    channel-first (small leading axis) or without a channel axis pass
+    through unchanged."""
+    arr = np.asarray(arr)
+    nd = int(spatial_dims)
+    if arr.ndim == nd + 1 and arr.shape[-1] <= 4 and arr.shape[0] > 4:
+        return np.moveaxis(arr, -1, 0)
+    return arr
+
+
 def center_crop_or_pad(arr: np.ndarray, shape: Sequence[int]) -> np.ndarray:
     """Center-crop and/or zero-pad trailing spatial dims to `shape`.
 

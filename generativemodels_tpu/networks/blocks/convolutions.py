@@ -156,7 +156,13 @@ def _decompose_gate(n: int, symmetric: bool, d: tuple, override: bool | None) ->
     """Shared decompose-vs-native gate (GMTPU_DECOMPOSE_3D=always|never|auto)."""
     eligible = n == 3 and symmetric and d == (1, 1, 1)
     if override is not None:
-        return override and eligible
+        if override and not eligible:
+            raise ValueError(
+                "decompose_3d=True requires a 3D conv with symmetric padding "
+                f"and no dilation; got spatial_dims={n}, symmetric={symmetric}, "
+                f"dilation={d}"
+            )
+        return override
     env = os.environ.get("GMTPU_DECOMPOSE_3D", "auto")
     if env == "always":
         return eligible

@@ -252,7 +252,7 @@ def _fused_impl(x, w, scale, shift, bias, residual, apply_act, interpret):
         rows -= 1
 
     # tap order: output[d] = w[0]*x[d-1] + w[1]*x[d] + w[2]*x[d+1]
-    w_flat = w.transpose(0, 1, 2, 3, 4).reshape(3, 9 * cin, cout)
+    w_flat = w.reshape(3, 9 * cin, cout)
 
     has_residual = residual is not None
     inputs = [x, x, x, w_flat, scale, shift, bias.reshape(1, cout)]

@@ -324,6 +324,7 @@ struct Loader {
   bool loop;
   std::atomic<bool> stop{false};
   std::atomic<int> active_workers{0};
+  std::atomic<size_t> consecutive_failures{0};
 
   void worker() {
     for (;;) {
@@ -336,8 +337,13 @@ struct Loader {
       Volume v = read_any(files[idx % files.size()]);
       if (!v.ok) {  // skip unreadable files rather than emit garbage
         std::fprintf(stderr, "[gmtpu_data] skipping: %s\n", v.error.c_str());
+        // all-unreadable guard: a full pass of consecutive failures
+        // across workers means looping would spin forever — exit so the
+        // consumer unblocks at end-of-stream instead
+        if (consecutive_failures.fetch_add(1) + 1 >= files.size() && loop) break;
         continue;
       }
+      consecutive_failures.store(0);
       std::unique_lock<std::mutex> lock(mu);
       cv_space.wait(lock, [&] { return ready.size() < max_queue || stop.load(); });
       if (stop.load()) break;

@@ -519,3 +519,78 @@ class TestCachedDataset:
         got = [next(it) for _ in range(6)]
         assert all(g.shape == (8, 8) for g in got)
         assert all(np.isfinite(g).all() for g in got)
+
+
+class TestReviewFindings:
+    """Regressions from the round-3 code review."""
+
+    def test_stale_library_triggers_rebuild(self, monkeypatch):
+        """A previously-built .so missing newer symbols rebuilds once
+        instead of leaking AttributeError (native.py load_library)."""
+        from generativemodels_tpu.data import native
+
+        monkeypatch.setattr(native, "_lib", None)
+        calls = {"build": 0, "bind": 0}
+        real_bind = native._bind_symbols
+
+        def fake_bind(lib):
+            calls["bind"] += 1
+            if calls["bind"] == 1:
+                raise AttributeError("undefined symbol: gmtpu_read_image")
+            return real_bind(lib)
+
+        monkeypatch.setattr(native, "_bind_symbols", fake_bind)
+        monkeypatch.setattr(
+            native, "_build_library",
+            lambda: calls.__setitem__("build", calls["build"] + 1),
+        )
+        lib = native.load_library()
+        assert lib is not None
+        assert calls["build"] == 1 and calls["bind"] == 2
+
+    def test_rgb_png_channel_first_fitting(self, tmp_path):
+        """(H, W, 3) decoder output fits spatially, not across channels."""
+        from PIL import Image
+
+        from generativemodels_tpu.data import training_stream
+
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 256, (20, 24, 3), np.uint8)).save(
+                tmp_path / f"rgb{i}.png"
+            )
+        it = training_stream(str(tmp_path), (16, 16), augment=True)
+        a = next(it)
+        assert a.shape == (3, 16, 16)
+
+    def test_ensure_channel_first(self):
+        from generativemodels_tpu.data.transforms import ensure_channel_first
+
+        assert ensure_channel_first(np.zeros((20, 24, 3)), 2).shape == (3, 20, 24)
+        assert ensure_channel_first(np.zeros((20, 24)), 2).shape == (20, 24)
+        # already channel-first: unchanged
+        assert ensure_channel_first(np.zeros((3, 20, 24)), 2).shape == (3, 20, 24)
+        # 3D volume with nd=3: no channel axis, unchanged
+        assert ensure_channel_first(np.zeros((8, 9, 10)), 3).shape == (8, 9, 10)
+
+    def test_all_unreadable_dir_raises_not_spins(self, tmp_path):
+        """Every file failing to decode ends the stream with IOError
+        instead of looping forever (pipeline + C++ worker guard)."""
+        for i in range(3):
+            (tmp_path / f"bad{i}.nii").write_bytes(b"not a nifti at all")
+        from generativemodels_tpu.data import file_dataset
+
+        with pytest.raises(IOError):
+            for _ in file_dataset(str(tmp_path), loop=True):
+                pass
+
+    def test_decompose_3d_override_rejects_bad_geometry(self):
+        from generativemodels_tpu.networks.blocks.convolutions import ConvND
+
+        import jax
+        import jax.numpy as jnp
+
+        conv = ConvND(spatial_dims=2, features=4, kernel_size=(3, 3),
+                      decompose_3d=True)
+        with pytest.raises(ValueError):
+            conv.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 2)))
