@@ -33,6 +33,7 @@ def make_diffusion_train_step(
     prediction_target: str = "epsilon",
     spatial_shard_axis: int | None = None,
     donate: bool = True,
+    accumulate_steps: int = 1,
 ):
     """Build a jitted (optionally mesh-sharded) DDPM training step.
 
@@ -45,6 +46,11 @@ def make_diffusion_train_step(
         num_train_timesteps: timestep draw range (default scheduler's).
         prediction_target: "epsilon" | "v_prediction" | "sample".
         spatial_shard_axis: index of the spatial axis to shard (e.g. 2).
+        accumulate_steps: gradient accumulation. The incoming batch is
+            split into this many equal microbatches; grads are averaged
+            over a `lax.scan` (activation memory = one microbatch, so
+            effective batches can exceed HBM) and applied in ONE
+            optimizer update — numerically the full-batch step.
 
     Returns:
         `step(state, images, rng) -> (state, loss)`.
@@ -76,7 +82,40 @@ def make_diffusion_train_step(
         noise = jax.random.normal(k_noise, images.shape, dtype=images.dtype)
         timesteps = jax.random.randint(k_t, (images.shape[0],), 0, T)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, images, noise, timesteps)
+        if accumulate_steps == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, images, noise, timesteps
+            )
+        else:
+            if images.shape[0] % accumulate_steps:
+                raise ValueError(
+                    f"batch {images.shape[0]} not divisible by "
+                    f"accumulate_steps={accumulate_steps}"
+                )
+            mb = images.shape[0] // accumulate_steps
+            stack = lambda a: a.reshape((accumulate_steps, mb) + a.shape[1:])
+
+            def micro(carry, inp):
+                im, no, ts = inp
+                if mesh is not None:
+                    im = jax.lax.with_sharding_constraint(
+                        im, batch_sharding(mesh, im.ndim)
+                    )
+                l, g = jax.value_and_grad(loss_fn)(state.params, im, no, ts)
+                acc_l, acc_g = carry
+                return (acc_l + l, jax.tree_util.tree_map(jnp.add, acc_g, g)), None
+
+            init = (
+                jnp.zeros((), jnp.float32),
+                jax.tree_util.tree_map(jnp.zeros_like, state.params),
+            )
+            (loss, grads), _ = jax.lax.scan(
+                micro, init, (stack(images), stack(noise), stack(timesteps))
+            )
+            inv = 1.0 / accumulate_steps
+            loss = loss * inv
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

@@ -82,6 +82,9 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--cache", action="store_true",
                         help="decode+fit once and cache samples in host RAM "
                         "(reference CacheDataset)")
+    parser.add_argument("--accumulate", type=int, default=1,
+                        help="gradient-accumulation microbatches per optimizer "
+                        "update (batch must divide evenly)")
     parser.add_argument("--checkpoint-dir", type=str, default=None)
     parser.add_argument("--sample", action="store_true", help="sample after training")
     parser.add_argument("--sample-steps", type=int, default=50,
@@ -116,7 +119,8 @@ def main(argv=None) -> None:
 
     mesh = create_mesh({"data": jax.device_count()}) if args.data_parallel else None
     step = make_diffusion_train_step(
-        apply, scheduler, tx, mesh=mesh, prediction_target=args.prediction_type
+        apply, scheduler, tx, mesh=mesh, prediction_target=args.prediction_type,
+        accumulate_steps=args.accumulate,
     )
     params = shard_params(variables["params"], mesh) if mesh else variables["params"]
     state = init_train_state(params, tx)

@@ -256,3 +256,51 @@ class TestSyncBatchNorm:
             jax.tree_util.tree_leaves(stats_global),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+class TestGradAccumulation:
+    def test_accumulated_matches_full_batch(self):
+        """accumulate_steps=4 must reproduce the full-batch update (same
+        rng => same noise/timesteps; mean-of-microbatch-means == full
+        mean for equal microbatches)."""
+        params, apply = _tiny_unet()
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        tx = optax.adam(1e-3)
+        images = jax.random.uniform(jax.random.PRNGKey(1), (8, 1, 16, 16))
+        rng = jax.random.PRNGKey(2)
+
+        full = make_diffusion_train_step(apply, scheduler, tx, donate=False)
+        acc = make_diffusion_train_step(apply, scheduler, tx, donate=False,
+                                        accumulate_steps=4)
+        s_full, l_full = full(init_train_state(params, tx), images, rng)
+        s_acc, l_acc = acc(init_train_state(params, tx), images, rng)
+
+        assert abs(float(l_full) - float(l_acc)) < 1e-6
+        for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                        jax.tree_util.tree_leaves(s_acc.params)):
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-6
+
+    def test_accumulation_under_mesh(self):
+        mesh = create_mesh({"data": 8})
+        params, apply = _tiny_unet()
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        tx = optax.adam(1e-4)
+        step = make_diffusion_train_step(apply, scheduler, tx, mesh=mesh,
+                                         donate=False, accumulate_steps=2)
+        state = init_train_state(shard_params(params, mesh), tx)
+        images = shard_batch(
+            jax.random.uniform(jax.random.PRNGKey(1), (16, 1, 16, 16)), mesh
+        )
+        with mesh:
+            state, loss = step(state, images, jax.random.PRNGKey(2))
+        assert bool(jnp.isfinite(loss))
+
+    def test_indivisible_batch_raises(self):
+        params, apply = _tiny_unet()
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        tx = optax.adam(1e-4)
+        step = make_diffusion_train_step(apply, scheduler, tx, donate=False,
+                                         accumulate_steps=3)
+        images = jnp.zeros((8, 1, 16, 16))
+        with pytest.raises(ValueError):
+            step(init_train_state(params, tx), images, jax.random.PRNGKey(0))
