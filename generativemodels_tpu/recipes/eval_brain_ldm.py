@@ -185,10 +185,12 @@ def main(argv=None) -> None:
     fid = None
     fid_features = None
     if args.data_dir:
-        from ..data import batched, file_dataset
+        from ..data import batched, training_stream
 
+        # fit real volumes to the generated shape before FID features
         real = jnp.asarray(next(batched(
-            file_dataset(args.data_dir, loop=False), diverse.shape[0]
+            training_stream(args.data_dir, tuple(diverse.shape[2:])),
+            diverse.shape[0],
         )))[:, None]  # (B, D, H, W) -> (B, 1, D, H, W)
         features = make_3d_feature_extractor(args.fid_weights)
         fid = float(FIDMetric()(features(diverse), features(real)))

@@ -159,10 +159,12 @@ def main() -> None:
 
     data_iter = None
     if args.data_dir:
-        from ..data import batched, file_dataset, prefetch_to_device
+        from ..data import batched, prefetch_to_device, training_stream
 
+        source = batched(training_stream(args.data_dir, (args.size,) * 2), args.batch)
         data_iter = prefetch_to_device(
-            batched(file_dataset(args.data_dir), args.batch)
+            (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
+             for b in source)
         )
 
     rng = jax.random.PRNGKey(42)

@@ -511,3 +511,31 @@ class TestDataFitting:
             "--channels", "8", "8", "--norm-groups", "8",
             "--cache", "--augment", "--data-dir", str(tmp_path),
         ])
+
+    def test_eval_quality_fits_real_size_images(self, tmp_path):
+        """--data-dir images of a different size are fitted and given a
+        channel axis before the jitted train step (round-3 regression)."""
+        import json
+        import sys
+        from unittest import mock
+
+        import numpy as np
+        from PIL import Image
+
+        from generativemodels_tpu.recipes import eval_quality
+
+        data = tmp_path / "imgs"
+        data.mkdir()
+        for i in range(4):
+            Image.fromarray(
+                np.random.RandomState(i).randint(0, 256, (28, 24), np.uint8)
+            ).save(data / f"i{i}.png")
+        out = tmp_path / "q.json"
+        argv = ["prog", "--train-steps", "2", "--batch", "2", "--size", "16",
+                "--channels", "8", "8", "--norm-groups", "8",
+                "--sample-count", "2", "--sample-batch", "2",
+                "--ddim-steps", "2", "--data-dir", str(data), "--out", str(out)]
+        with mock.patch.object(sys, "argv", argv):
+            eval_quality.main()
+        result = json.loads(out.read_text())
+        assert np.isfinite(result["fid"]) and result["data"] == str(data)
