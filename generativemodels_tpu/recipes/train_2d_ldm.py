@@ -38,7 +38,30 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--kl-weight", type=float, default=1e-6)
     parser.add_argument("--adv-weight", type=float, default=0.01)
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help=".nii/.nii.gz/.npy/PNG/JPEG directory; synthetic blobs if omitted")
+    parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
+                        default="crop_pad")
+    parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--cache", action="store_true")
     args = parser.parse_args()
+
+    data_iter = None
+    if args.data_dir:
+        from ..data import batched, prefetch_to_device, training_stream
+
+        stream = training_stream(args.data_dir, (args.size,) * 2, args.fit,
+                                 cache=args.cache, augment=args.augment)
+        data_iter = prefetch_to_device(
+            (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
+             for b in batched(stream, args.batch)), size=2,
+        )
+
+    def next_batch(k):
+        # both paths yield [0, 1] images (reference 2d_ldm stage-1 range)
+        if data_iter is not None:
+            return next(data_iter)
+        return synthetic_batch(k, args.batch, args.size)
 
     # ---- stage 1: adversarial AutoencoderKL --------------------------------
     aekl = AutoencoderKL(
@@ -108,7 +131,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(42)
     for i in range(args.stage1_steps):
         rng, k_data, k_step = jax.random.split(rng, 3)
-        images = synthetic_batch(k_data, args.batch, args.size)
+        images = next_batch(k_data)
         step_fn = warm_step if i < args.warmup_steps else adv_step
         state, out = step_fn(state, images, images, k_step)
         if (i + 1) % 10 == 0:
@@ -120,7 +143,7 @@ def main() -> None:
 
     # ---- scale factor ------------------------------------------------------
     rng, k = jax.random.split(rng)
-    first = synthetic_batch(k, args.batch, args.size)
+    first = next_batch(k)
     z = aekl_bound.encode_stage_2_inputs(first, key=jax.random.PRNGKey(10))
     scale_factor = float(compute_scale_factor(z))
     print(f"scale_factor = {scale_factor:.4f}")
@@ -159,7 +182,7 @@ def main() -> None:
 
     for i in range(args.stage2_steps):
         rng, k_data, k_step = jax.random.split(rng, 3)
-        images = synthetic_batch(k_data, args.batch, args.size)
+        images = next_batch(k_data)
         train2, loss = stage2_step(train2, images, k_step)
         if (i + 1) % 10 == 0:
             print(f"[stage2] step {i + 1} loss={float(loss):.4f}")

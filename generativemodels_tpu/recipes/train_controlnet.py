@@ -90,7 +90,36 @@ def main() -> None:
     parser.add_argument("--channels", type=int, nargs="+", default=[64, 128, 128])
     parser.add_argument("--norm-groups", type=int, default=32)
     parser.add_argument("--sample", action="store_true", help="sample after training")
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help=".nii/.nii.gz/.npy/PNG/JPEG directory; synthetic blobs "
+                        "if omitted. Masks are derived by thresholding, like the "
+                        "tutorial's whole-brain mask (2d_controlnet.py:115-118)")
+    parser.add_argument("--mask-threshold", type=float, default=0.3)
+    parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
+                        default="crop_pad")
+    parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--cache", action="store_true")
     args = parser.parse_args()
+
+    data_iter = None
+    if args.data_dir:
+        from ..data import batched, prefetch_to_device, training_stream
+
+        stream = training_stream(args.data_dir, (args.size,) * 2, args.fit,
+                                 cache=args.cache, augment=args.augment)
+        data_iter = prefetch_to_device(
+            (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
+             for b in batched(stream, args.batch)), size=2,
+        )
+
+    def next_batch(k):
+        if data_iter is not None:
+            return next(data_iter)
+        return synthetic_batch(k, args.batch, args.size)
+
+    def next_masked_batch(k):
+        images = next_batch(k)
+        return images, (images > args.mask_threshold).astype(images.dtype)
 
     unet_kwargs = dict(
         spatial_dims=2, in_channels=1, num_res_blocks=1,
@@ -114,7 +143,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(42)
     for i in range(args.pretrain_steps):
         rng, k_data, k_step = jax.random.split(rng, 3)
-        images = synthetic_batch(k_data, args.batch, args.size)
+        images = next_batch(k_data)
         state1, loss = pre_step(state1, images, k_step)
         if (i + 1) % 10 == 0:
             print(f"[unet] step {i + 1} loss={float(loss):.4f}")
@@ -144,7 +173,7 @@ def main() -> None:
     state2 = init_train_state(cn_params, tx2)
     for i in range(args.steps):
         rng, k_data, k_step = jax.random.split(rng, 3)
-        images, masks = synthetic_masked_batch(k_data, args.batch, args.size)
+        images, masks = next_masked_batch(k_data)
         state2, loss = step(state2, images, masks, k_step)
         if (i + 1) % 10 == 0:
             print(f"[controlnet] step {i + 1} loss={float(loss):.4f}")

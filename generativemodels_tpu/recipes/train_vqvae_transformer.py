@@ -31,7 +31,29 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--num-embeddings", type=int, default=64)
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help=".nii/.nii.gz/.npy/PNG/JPEG directory; synthetic blobs if omitted")
+    parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
+                        default="crop_pad")
+    parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--cache", action="store_true")
     args = parser.parse_args()
+
+    data_iter = None
+    if args.data_dir:
+        from ..data import batched, prefetch_to_device, training_stream
+
+        stream = training_stream(args.data_dir, (args.size,) * 2, args.fit,
+                                 cache=args.cache, augment=args.augment)
+        data_iter = prefetch_to_device(
+            (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
+             for b in batched(stream, args.batch)), size=2,
+        )
+
+    def next_batch(k):
+        if data_iter is not None:
+            return next(data_iter)
+        return synthetic_batch(k, args.batch, args.size)
 
     vqvae = VQVAE(
         spatial_dims=2, in_channels=1, out_channels=1, num_channels=(64, 128),
@@ -66,7 +88,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(42)
     for i in range(args.stage1_steps):
         rng, k = jax.random.split(rng)
-        images = synthetic_batch(k, args.batch, args.size)
+        images = next_batch(k)
         params, codebook, opt_state, loss, perplexity = stage1_step(
             params, codebook, opt_state, images
         )
@@ -108,7 +130,7 @@ def main() -> None:
 
     for i in range(args.stage2_steps):
         rng, k_data, k_step = jax.random.split(rng, 3)
-        images = synthetic_batch(k_data, args.batch, args.size)
+        images = next_batch(k_data)
         t_params, opt2, loss = stage2_step(t_params, opt2, images, k_step)
         if (i + 1) % 10 == 0:
             print(f"[stage2] step {i + 1} nll={float(loss):.4f}")

@@ -539,3 +539,52 @@ class TestDataFitting:
             eval_quality.main()
         result = json.loads(out.read_text())
         assert np.isfinite(result["fid"]) and result["data"] == str(data)
+
+
+class TestDataDirRecipes:
+    """--data-dir on the LDM / VQVAE-transformer / ControlNet recipes."""
+
+    def _pngs(self, tmp_path, n=3, shape=(20, 24)):
+        import numpy as np
+        from PIL import Image
+
+        for i in range(n):
+            Image.fromarray(
+                np.random.RandomState(i).randint(0, 256, shape, np.uint8)
+            ).save(tmp_path / f"i{i}.png")
+        return str(tmp_path)
+
+    def _run(self, module, argv):
+        import sys
+        from unittest import mock
+
+        with mock.patch.object(sys, "argv", ["prog"] + argv):
+            module.main()
+
+    def test_train_2d_ldm_data_dir(self, tmp_path):
+        from generativemodels_tpu.recipes import train_2d_ldm
+
+        self._run(train_2d_ldm, [
+            "--stage1-steps", "2", "--stage2-steps", "2", "--warmup-steps", "1",
+            "--batch", "2", "--size", "16",
+            "--data-dir", self._pngs(tmp_path), "--cache",
+        ])
+
+    def test_train_vqvae_transformer_data_dir(self, tmp_path):
+        from generativemodels_tpu.recipes import train_vqvae_transformer
+
+        self._run(train_vqvae_transformer, [
+            "--stage1-steps", "2", "--stage2-steps", "2",
+            "--batch", "2", "--size", "16", "--num-embeddings", "8",
+            "--data-dir", self._pngs(tmp_path),
+        ])
+
+    def test_train_controlnet_data_dir(self, tmp_path):
+        from generativemodels_tpu.recipes import train_controlnet
+
+        self._run(train_controlnet, [
+            "--pretrain-steps", "2", "--steps", "2",
+            "--batch", "2", "--size", "16",
+            "--channels", "8", "8", "--norm-groups", "8",
+            "--data-dir", self._pngs(tmp_path), "--augment",
+        ])
