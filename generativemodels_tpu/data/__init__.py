@@ -1,8 +1,10 @@
 from .native import PrefetchNiftiLoader, load_library, read_nifti, write_nifti
 from .pipeline import (
     batched,
+    batched_pairs,
     cached_dataset,
     file_dataset,
+    paired_stream,
     prefetch_to_device,
     training_stream,
 )
@@ -13,8 +15,10 @@ __all__ = [
     "read_nifti",
     "write_nifti",
     "batched",
+    "batched_pairs",
     "cached_dataset",
     "file_dataset",
+    "paired_stream",
     "prefetch_to_device",
     "training_stream",
 ]

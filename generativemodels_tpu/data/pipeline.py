@@ -223,6 +223,69 @@ def training_stream(
     return stream
 
 
+def _read_any(path: str) -> np.ndarray:
+    """Read one sample file by extension (npy / NIfTI / image)."""
+    from . import native
+
+    p = path.lower()
+    if p.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if p.endswith((".nii", ".nii.gz")):
+        return native.read_nifti(path)
+    return native.read_image(path)
+
+
+def paired_stream(
+    image_dir: str,
+    label_dir: str,
+    shape,
+    fit: str = "crop_pad",
+    seed: int = 0,
+    loop: bool = True,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Aligned (image, label) pairs for conditional recipes (the torch
+    dict-dataset role in the reference SPADE / image-to-image tutorials).
+
+    Files in the two directories are matched by sorted order (counts must
+    match — name labels like their images); each epoch applies ONE seeded
+    permutation to both, keeping pairs aligned. Images are intensity-
+    rescaled to [0, 1] and fitted with the requested mode; label maps
+    keep their raw integer values and fit with nearest-neighbour
+    semantics (zero-pad, or order=0 resize).
+    """
+    from .transforms import ensure_channel_first, fit_sample
+
+    exts = (".nii", ".nii.gz", ".npy") + _IMAGE_EXTS
+    list_dir = lambda d: sorted(
+        p for p in glob.glob(os.path.join(d, "*")) if p.lower().endswith(exts)
+    )
+    images, labels = list_dir(image_dir), list_dir(label_dir)
+    if not images:
+        raise FileNotFoundError(f"no samples under {image_dir}")
+    if len(images) != len(labels):
+        raise ValueError(
+            f"{len(images)} images vs {len(labels)} labels — directories "
+            "must pair 1:1 by sorted filename"
+        )
+
+    nd = len(tuple(shape))
+    epoch = 0
+    while True:
+        order = np.arange(len(images))
+        rng = np.random.RandomState((seed + epoch) & 0x7FFFFFFF)
+        rng.shuffle(order)
+        for i in order:
+            img = ensure_channel_first(_read_any(images[i]), nd)
+            lab = ensure_channel_first(_read_any(labels[i]), nd)
+            yield (
+                fit_sample(img, shape, fit),
+                fit_sample(lab, shape, fit, rescale_intensity=False, order=0),
+            )
+        epoch += 1
+        if not loop:
+            return
+
+
 def batched(source: Iterable[np.ndarray], batch_size: int) -> Iterator[np.ndarray]:
     """Stack fixed-shape samples into (B, ...) batches (drops remainder)."""
     buf = []
@@ -230,6 +293,17 @@ def batched(source: Iterable[np.ndarray], batch_size: int) -> Iterator[np.ndarra
         buf.append(item)
         if len(buf) == batch_size:
             yield np.stack(buf)
+            buf = []
+
+
+def batched_pairs(source: Iterable[tuple], batch_size: int) -> Iterator[tuple]:
+    """Stack an iterator of sample tuples into tuples of (B, ...) batches
+    (drops remainder) — `batched` for paired_stream output."""
+    buf: list[tuple] = []
+    for item in source:
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield tuple(np.stack(part) for part in zip(*buf))
             buf = []
 
 

@@ -96,13 +96,15 @@ def fit_sample(
     shape: Sequence[int],
     mode: str = "crop_pad",
     rescale_intensity: bool = True,
+    order: int = 1,
 ) -> np.ndarray:
     """Fit one sample to the fixed spatial `shape` a jitted step expects.
 
     mode="crop_pad" center-crops/zero-pads (preserves resolution,
     reference 3D-DDPM tutorial route); mode="resize" interpolates
     (reference 3D-LDM route). Intensity is min-max scaled to [0, 1]
-    first unless disabled.
+    first unless disabled. `order=0` selects nearest-neighbour resizing
+    (label maps).
     """
     arr = np.asarray(arr, np.float32)
     if rescale_intensity:
@@ -110,7 +112,7 @@ def fit_sample(
     if mode == "crop_pad":
         return center_crop_or_pad(arr, shape)
     if mode == "resize":
-        return resize(arr, shape)
+        return resize(arr, shape, order=order)
     raise ValueError(f"unknown fit mode {mode!r}; use 'crop_pad' or 'resize'")
 
 

@@ -94,7 +94,35 @@ def main() -> None:
     parser.add_argument("--lr", type=float, default=2.5e-5)
     parser.add_argument("--ensemble", type=int, default=5)
     parser.add_argument("--sample", action="store_true")
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help="image directory; paired with --label-dir by sorted "
+                        "filename. Synthetic blobs + threshold masks if omitted")
+    parser.add_argument("--label-dir", type=str, default=None,
+                        help="binary mask directory (.npy/.nii/.png)")
+    parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
+                        default="crop_pad")
     args = parser.parse_args()
+    if bool(args.data_dir) != bool(args.label_dir):
+        parser.error("--data-dir and --label-dir must be given together")
+
+    batches = None
+    if args.data_dir:
+        from ..data import batched_pairs, paired_stream
+
+        batches = batched_pairs(
+            paired_stream(args.data_dir, args.label_dir, (args.size,) * 2,
+                          args.fit),
+            args.batch,
+        )
+
+    def next_masked(k, batch):
+        if batches is not None and batch == args.batch:
+            images, masks = next(batches)
+            shape = (batch, 1, args.size, args.size)
+            return (jnp.asarray(images, jnp.float32).reshape(shape),
+                    (jnp.asarray(masks, jnp.float32).reshape(shape) > 0)
+                    .astype(jnp.float32))
+        return synthetic_masked_batch(k, batch, args.size)
 
     # in_channels=2: noisy mask + conditioning image (reference :177)
     model = DiffusionModelUNet(
@@ -116,7 +144,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(42)
     for i in range(args.steps):
         rng, k_data, k_step = jax.random.split(rng, 3)
-        images, masks = synthetic_masked_batch(k_data, args.batch, args.size)
+        images, masks = next_masked(k_data, args.batch)
         state, loss = step(state, images, masks, k_step)
         if (i + 1) % 10 == 0:
             print(f"step {i + 1} loss={float(loss):.4f}")

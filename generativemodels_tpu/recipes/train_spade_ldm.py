@@ -45,6 +45,32 @@ def synthetic_seg_batch(key, batch: int, size: int, label_nc: int = 3):
     return images, one_hot_labels(labels, label_nc)
 
 
+def make_seg_batch_fn(args, label_nc):
+    """Return `next_seg_batch(key, batch)` -> (images, one-hot labels):
+    paired --data-dir/--label-dir files (sorted-filename alignment, labels
+    nearest-fitted, values clipped to label_nc) when given, else the
+    synthetic ring-quantised blobs."""
+    if getattr(args, "data_dir", None):
+        from ..data import batched_pairs, paired_stream
+
+        pairs = paired_stream(args.data_dir, args.label_dir,
+                              (args.size,) * 2, args.fit)
+        batches = batched_pairs(pairs, args.batch)
+
+        def next_seg_batch(key, batch):
+            images, labels = next(batches)
+            images = jnp.asarray(images, jnp.float32).reshape(
+                batch, 1, args.size, args.size)
+            labels = jnp.clip(
+                jnp.asarray(labels).reshape(batch, 1, args.size, args.size),
+                0, label_nc - 1)
+            return images, one_hot_labels(labels, label_nc)
+    else:
+        def next_seg_batch(key, batch):
+            return synthetic_seg_batch(key, batch, args.size, label_nc)
+    return next_seg_batch
+
+
 def main() -> None:
     enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
@@ -57,9 +83,19 @@ def main() -> None:
     parser.add_argument("--kl-weight", type=float, default=1e-6)
     parser.add_argument("--adv-weight", type=float, default=0.01)
     parser.add_argument("--sample", action="store_true")
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help="image directory; paired with --label-dir by sorted "
+                        "filename. Synthetic blobs + ring labels if omitted")
+    parser.add_argument("--label-dir", type=str, default=None,
+                        help="integer label-map directory (.npy/.nii/.png)")
+    parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
+                        default="crop_pad")
     args = parser.parse_args()
+    if bool(args.data_dir) != bool(args.label_dir):
+        parser.error("--data-dir and --label-dir must be given together")
 
     label_nc = args.label_nc
+    next_seg_batch = make_seg_batch_fn(args, label_nc)
 
     # ---- stage 1: adversarial SPADE AutoencoderKL --------------------------
     aekl = SPADEAutoencoderKL(
@@ -124,7 +160,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(42)
     for i in range(args.stage1_steps):
         rng, k_data, k_step = jax.random.split(rng, 3)
-        images, seg = synthetic_seg_batch(k_data, args.batch, args.size, label_nc)
+        images, seg = next_seg_batch(k_data, args.batch)
         step_fn = warm_step if i < args.warmup_steps else adv_step
         state, out = step_fn(state, (images, seg), images, k_step)
         if (i + 1) % 10 == 0:
@@ -136,7 +172,7 @@ def main() -> None:
 
     # ---- scale factor (2d_spade_ldm.py LDM convention) ----------------------
     rng, k = jax.random.split(rng)
-    images, seg = synthetic_seg_batch(k, args.batch, args.size, label_nc)
+    images, seg = next_seg_batch(k, args.batch)
     z = aekl_bound.encode_stage_2_inputs(images, key=jax.random.PRNGKey(10))
     scale_factor = float(compute_scale_factor(z))
     print(f"scale_factor = {scale_factor:.4f}")
@@ -181,7 +217,7 @@ def main() -> None:
 
     for i in range(args.stage2_steps):
         rng, k_data, k_step = jax.random.split(rng, 3)
-        images, seg = synthetic_seg_batch(k_data, args.batch, args.size, label_nc)
+        images, seg = next_seg_batch(k_data, args.batch)
         train2, loss = stage2_step(train2, images, seg, k_step)
         if (i + 1) % 10 == 0:
             print(f"[stage2] step {i + 1} loss={float(loss):.4f}")

@@ -24,7 +24,7 @@ import optax
 from ..losses import PatchAdversarialLoss, feature_matching_loss
 from ..networks.nets import MultiScalePatchDiscriminator, SPADENet
 from ..utils import enable_persistent_compilation_cache
-from .train_spade_ldm import synthetic_seg_batch
+from .train_spade_ldm import make_seg_batch_fn, synthetic_seg_batch
 
 
 class SPADEVAEState(NamedTuple):
@@ -108,7 +108,17 @@ def main() -> None:
     parser.add_argument("--label-nc", type=int, default=3)
     parser.add_argument("--z-dim", type=int, default=32)
     parser.add_argument("--sample", action="store_true")
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help="image directory; paired with --label-dir by sorted "
+                        "filename. Synthetic blobs + ring labels if omitted")
+    parser.add_argument("--label-dir", type=str, default=None,
+                        help="integer label-map directory (.npy/.nii/.png)")
+    parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
+                        default="crop_pad")
     args = parser.parse_args()
+    if bool(args.data_dir) != bool(args.label_dir):
+        parser.error("--data-dir and --label-dir must be given together")
+    next_seg_batch = make_seg_batch_fn(args, args.label_nc)
 
     net = SPADENet(
         spatial_dims=2, in_channels=1, out_channels=1, label_nc=args.label_nc,
@@ -139,7 +149,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(42)
     for i in range(args.steps):
         rng, k_data, k_step = jax.random.split(rng, 3)
-        images, seg = synthetic_seg_batch(k_data, args.batch, args.size, args.label_nc)
+        images, seg = next_seg_batch(k_data, args.batch)
         state, out = step(state, images, seg, k_step)
         if (i + 1) % 10 == 0:
             print(f"step {i + 1} g={float(out['g_total']):.4f} d={float(out['d_total']):.4f} "

@@ -594,3 +594,57 @@ class TestReviewFindings:
                       decompose_3d=True)
         with pytest.raises(ValueError):
             conv.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 2)))
+
+
+class TestPairedStream:
+    """Aligned (image, label) pairs (data/pipeline.paired_stream)."""
+
+    def _dirs(self, tmp_path, n=4):
+        img_d, lab_d = tmp_path / "img", tmp_path / "lab"
+        img_d.mkdir(); lab_d.mkdir()
+        for i in range(n):
+            np.save(img_d / f"s{i}.npy",
+                    np.full((20, 24), float(i), np.float32))
+            np.save(lab_d / f"s{i}.npy",
+                    np.full((10, 12), float(i), np.float32))  # labels = index
+        return str(img_d), str(lab_d)
+
+    def test_pairs_stay_aligned_across_epochs(self, tmp_path):
+        from generativemodels_tpu.data import paired_stream
+
+        img_d, lab_d = self._dirs(tmp_path)
+        it = paired_stream(img_d, lab_d, (16, 16), seed=3)
+        for _ in range(10):  # crosses the epoch boundary (4 files)
+            img, lab = next(it)
+            assert img.shape == (16, 16) and lab.shape == (16, 16)
+            # label map keeps its raw integer value = its image's index
+            assert float(lab.max()) == float(np.round(lab.max()))
+            # image i is constant i -> rescaled to 0; label center still i
+            assert lab[8, 8] == lab.max()
+
+    def test_label_values_not_rescaled(self, tmp_path):
+        from generativemodels_tpu.data import paired_stream
+
+        img_d, lab_d = self._dirs(tmp_path)
+        labs = sorted(float(lab[8, 8]) for _, lab in
+                      (next(paired_stream(img_d, lab_d, (16, 16), seed=0))
+                       for _ in range(1)))
+        it = paired_stream(img_d, lab_d, (16, 16), seed=0, loop=False)
+        vals = sorted(float(lab[8, 8]) for _, lab in it)
+        assert vals == [0.0, 1.0, 2.0, 3.0]
+
+    def test_count_mismatch_raises(self, tmp_path):
+        from generativemodels_tpu.data import paired_stream
+
+        img_d, lab_d = self._dirs(tmp_path)
+        np.save(tmp_path / "lab" / "extra.npy", np.zeros((4, 4), np.float32))
+        with pytest.raises(ValueError):
+            next(paired_stream(img_d, lab_d, (16, 16)))
+
+    def test_batched_pairs(self, tmp_path):
+        from generativemodels_tpu.data import batched_pairs, paired_stream
+
+        img_d, lab_d = self._dirs(tmp_path)
+        imgs, labs = next(batched_pairs(
+            paired_stream(img_d, lab_d, (16, 16)), 4))
+        assert imgs.shape == (4, 16, 16) and labs.shape == (4, 16, 16)

@@ -588,3 +588,44 @@ class TestDataDirRecipes:
             "--channels", "8", "8", "--norm-groups", "8",
             "--data-dir", self._pngs(tmp_path), "--augment",
         ])
+
+    def _paired_dirs(self, tmp_path, n=4, nc=3):
+        import numpy as np
+
+        img_d, lab_d = tmp_path / "img", tmp_path / "lab"
+        img_d.mkdir(); lab_d.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(n):
+            np.save(img_d / f"s{i}.npy", rng.rand(20, 24).astype(np.float32))
+            np.save(lab_d / f"s{i}.npy",
+                    rng.randint(0, nc, (20, 24)).astype(np.float32))
+        return str(img_d), str(lab_d)
+
+    def test_train_spade_ldm_paired_data(self, tmp_path):
+        from generativemodels_tpu.recipes import train_spade_ldm
+
+        img_d, lab_d = self._paired_dirs(tmp_path)
+        self._run(train_spade_ldm, [
+            "--stage1-steps", "2", "--stage2-steps", "2", "--warmup-steps", "1",
+            "--batch", "2", "--size", "16", "--label-nc", "3",
+            "--data-dir", img_d, "--label-dir", lab_d,
+        ])
+
+    def test_segmentation_ddpm_paired_data(self, tmp_path):
+        from generativemodels_tpu.recipes import segmentation_ddpm
+
+        img_d, lab_d = self._paired_dirs(tmp_path, nc=2)
+        self._run(segmentation_ddpm, [
+            "--steps", "2", "--batch", "2", "--size", "16",
+            "--data-dir", img_d, "--label-dir", lab_d,
+        ])
+
+    def test_paired_dirs_required_together(self, tmp_path):
+        import pytest as _pytest
+
+        from generativemodels_tpu.recipes import segmentation_ddpm
+
+        with _pytest.raises(SystemExit):
+            self._run(segmentation_ddpm, [
+                "--steps", "1", "--data-dir", str(tmp_path),
+            ])
