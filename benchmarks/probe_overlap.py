@@ -10,9 +10,15 @@ that hand Mosaic's scheduler independent MXU/VPU chains to interleave:
   mxu_only  - QK (preferred bf16 out) -> PV, no VPU score ops: MXU floor
   ilv2      - 2 k-halves per grid step, program order s1,s2,p1,pv1,p2,pv2:
               p2's VPU work can in principle ride under pv1's MXU stream
+  ilv4      - same with 4 k-quarters (more interleave slack, more VMEM)
+  q2        - 2 q-tiles per grid step sharing ONE k/v tile: two fully
+              independent MXU->VPU->MXU chains for the scheduler AND half
+              the K/V DMA traffic per q-row
   bf16dom   - QK emits bf16 scores; clamp+exp2 run on packed bf16 vectors
               (2 elems/lane) - tests whether VPU packed ops double through-
-              put at a ~0.4% relative weight-precision cost
+              put at a ~0.4% relative weight-precision cost (NOTE: CPU
+              numerics already showed bf16 score rounding is inadmissible
+              for shipping - speed datapoint only)
   ilv2_bf16 - both
 
 Numerics are checked against a full-softmax einsum on a 2k slice (except
@@ -51,6 +57,40 @@ def _score_probs(s, bf16_dom):
     return jnp.exp2(jnp.minimum(s, 80.0)).astype(jnp.bfloat16)
 
 
+def _kernel_q2(q_ref, k_ref, v_ref, o_ref, acc_ref, *, variant):
+    """Two q-tiles per grid step over one shared k/v tile."""
+    kj = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    vl = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+    qs = [q_ref[0, h * BQ:(h + 1) * BQ] for h in range(2)]
+    ss = [
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        for q in qs
+    ]
+    for h in range(2):
+        p = _score_probs(ss[h], False)
+        acc_ref[h * BQ:(h + 1) * BQ] = acc_ref[h * BQ:(h + 1) * BQ] + (
+            jax.lax.dot_general(
+                p, vl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        )
+
+    @pl.when(kj == num_k - 1)
+    def _():
+        d = o_ref.shape[-1]
+        l_safe = jnp.maximum(acc_ref[:, d:], 1e-30)
+        o_ref[0] = (acc_ref[:, :d] / l_safe).astype(o_ref.dtype)
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, variant):
     kj = pl.program_id(2)
     num_k = pl.num_programs(2)
@@ -60,7 +100,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, variant):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]  # bf16, prescaled by scale*log2e outside
-    halves = 2 if variant.startswith("ilv2") else 1
+    halves = {"ilv2": 2, "ilv2_bf16": 2, "ilv4": 4}.get(variant, 1)
     bk = k_ref.shape[1] // halves
     bf16_dom = variant in ("bf16dom", "ilv2_bf16")
     score_ty = jnp.bfloat16 if (bf16_dom or variant == "mxu_only") else jnp.float32
@@ -89,19 +129,20 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, variant):
 def flash_var(q, k, v, *, scale, variant):
     bh, sq, d = q.shape
     q = q * jnp.asarray(scale * LOG2E, q.dtype)
-    bk_grid = BK * (2 if variant.startswith("ilv2") else 1)
-    grid = (bh, sq // BQ, k.shape[1] // bk_grid)
+    bk_grid = BK * {"ilv2": 2, "ilv2_bf16": 2, "ilv4": 4}.get(variant, 1)
+    bq_grid = BQ * (2 if variant == "q2" else 1)
+    grid = (bh, sq // bq_grid, k.shape[1] // bk_grid)
     out = pl.pallas_call(
-        functools.partial(_kernel, variant=variant),
+        functools.partial(_kernel_q2 if variant == "q2" else _kernel, variant=variant),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BQ, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq_grid, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk_grid, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk_grid, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BQ, d), lambda b, i, j: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, bq_grid, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((BQ, d + 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bq_grid, d + 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 2**20,
@@ -134,14 +175,14 @@ def main() -> None:
     k = jax.random.normal(kk, (BH, SEQ, D), jnp.bfloat16)
     v = jax.random.normal(kv, (BH, SEQ, D), jnp.bfloat16)
 
-    sl = 2048
+    sl = 4096  # big enough for the widest bk_grid (ilv4: 4096)
     qs, ks, vs = q[:, :sl], k[:, :sl], v[:, :sl]
     sref = jnp.einsum("bqd,bkd->bqk", qs.astype(jnp.float32), ks.astype(jnp.float32)) * scale
     ref = jnp.einsum(
         "bqk,bkd->bqd", jax.nn.softmax(sref, axis=-1), vs.astype(jnp.float32)
     )
 
-    variants = ["full", "mxu_only", "ilv2", "bf16dom", "ilv2_bf16"]
+    variants = ["full", "mxu_only", "ilv2", "ilv4", "q2", "bf16dom", "ilv2_bf16"]
     selected = sys.argv[1:] or variants
     results = []
     for name in selected:

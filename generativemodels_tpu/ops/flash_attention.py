@@ -61,30 +61,86 @@ def _mm_dtype(dtype, upcast: bool = False) -> jnp.dtype:
     return jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
 
-def _build_mask(qi, kj, block_q, block_k, kv_len, causal, *, interior):
+def _build_mask(qi, kj, block_q, block_k, kv_len, causal, *, interior,
+                row0=0, col0=0, rows=None, cols=None):
     """Boolean tile mask, or None if the tile is statically fully live.
 
     `interior` is a *static* hint that this call sites only runs for tiles
     strictly below the causal diagonal (so only kv-bound masking applies).
+    `row0/col0/rows/cols` address a sub-tile (the interleaved chunks).
     """
+    rows = block_q if rows is None else rows
+    cols = block_k if cols is None else cols
     need_kv_bound = kv_len % block_k != 0
     need_tri = causal and not interior
     if not (need_kv_bound or need_tri):
         return None
-    col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    col = kj * block_k + col0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
     mask = None
     if need_kv_bound:
         mask = col < kv_len
     if need_tri:
-        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        row = qi * block_q + row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
         tri = col <= row
         mask = tri if mask is None else (mask & tri)
     return mask
 
 
+def _pv_update(p, v, rows, l_ref, acc_ref, *, fold_l):
+    """Accumulate one PV product (and the row-sum l) for a row slice."""
+    if fold_l:
+        vl = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+        acc_ref[rows] = acc_ref[rows] + jax.lax.dot_general(
+            p.astype(v.dtype), vl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return
+    l_ref[rows] = l_ref[rows] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[rows] = acc_ref[rows] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fwd_tile_ilv(q, k, v, qi, kj, l_ref, acc_ref, *, scale, causal, kv_len,
+                  block_q, block_k, interior, exp_fn, fold_l, ilv_q, ilv_k):
+    """Interleaved no_max tile: split the tile into `ilv_q*ilv_k` chunks and
+    issue all score matmuls before the probs/PV chains, handing Mosaic's
+    scheduler independent MXU and VPU instruction streams to overlap
+    (the monolithic tile's QK->clamp/exp2->PV chain executes additively:
+    benchmarks/probe_overlap.py). Additive-only accumulation (no running
+    max / alpha rescale) is what makes the chunk order irrelevant.
+    """
+    bq = q.shape[0] // ilv_q
+    bk = k.shape[0] // ilv_k
+    chunks = []
+    for cq in range(ilv_q):
+        qc = q[cq * bq:(cq + 1) * bq]
+        for ck in range(ilv_k):
+            s = jax.lax.dot_general(
+                qc, k[ck * bk:(ck + 1) * bk], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if scale != 1.0:
+                s = s * scale
+            mask = _build_mask(
+                qi, kj, block_q, block_k, kv_len, causal, interior=interior,
+                row0=cq * bq, col0=ck * bk, rows=bq, cols=bk,
+            )
+            if mask is not None:
+                s = jnp.where(mask, s, NEG_INF)
+            chunks.append((cq, ck, s))
+    for cq, ck, s in chunks:
+        p = exp_fn(jnp.minimum(s, 80.0))
+        _pv_update(
+            p, v[ck * bk:(ck + 1) * bk], slice(cq * bq, (cq + 1) * bq),
+            l_ref, acc_ref, fold_l=fold_l,
+        )
+
+
 def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
               block_q, block_k, interior, exp2=False, no_max=False,
-              fold_l=False):
+              fold_l=False, ilv_q=1, ilv_k=1):
     """One online-softmax update for a (block_q, block_k) score tile.
 
     With `exp2=True` the scores arrive pre-multiplied by log2(e) (folded
@@ -93,6 +149,14 @@ def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
     implicit x*log2e multiply inside every transcendental over the score
     tile. The softmax weights are bit-equivalent in exact arithmetic.
     """
+    if no_max and (ilv_q > 1 or ilv_k > 1):
+        _fwd_tile_ilv(
+            q, k, v, qi, kj, l_ref, acc_ref, scale=scale, causal=causal,
+            kv_len=kv_len, block_q=block_q, block_k=block_k,
+            interior=interior, exp_fn=jnp.exp2 if exp2 else jnp.exp,
+            fold_l=fold_l, ilv_q=ilv_q, ilv_k=ilv_k,
+        )
+        return
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -111,25 +175,12 @@ def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
         # GroupNorm'd model produces. No lower clamp: exp2 underflows to
         # an exact 0 (masked scores included). Drops the per-tile max
         # reduction AND the cross-block alpha rescale.
+        # fold_l rides the row-sum l on the PV matmul: at d % 128 != 0 the
+        # MXU lane tile has idle columns, so a ones-column appended to v
+        # computes l for free and the (block_q, block_k) VPU reduce
+        # disappears; acc's last column accumulates l.
         p = exp_fn(jnp.minimum(s, 80.0))
-        if fold_l:
-            # ride the row-sum l on the PV matmul: at d % 128 != 0 the MXU
-            # lane tile has idle columns, so a ones-column appended to v
-            # computes l for free and the (block_q, block_k) VPU reduce
-            # disappears; acc's last column accumulates l.
-            vl = jnp.concatenate(
-                [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1
-            )
-            acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
-                p.astype(v.dtype), vl, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return
-        l_ref[...] = l_ref[...] + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        _pv_update(p, v, slice(None), l_ref, acc_ref, fold_l=fold_l)
         return
     m_prev = m_ref[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -146,7 +197,7 @@ def _fwd_tile(q, k, v, qi, kj, m_ref, l_ref, acc_ref, *, scale, causal, kv_len,
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     *, scale, causal, kv_len, block_q, block_k, upcast=False, exp2=False,
-    no_max=False, fold_l=False,
+    no_max=False, fold_l=False, ilv_q=1, ilv_k=1,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -166,7 +217,7 @@ def _fwd_kernel(
         _fwd_tile, q, k, v, qi, kj, m_ref, l_ref, acc_ref,
         scale=scale, causal=causal, kv_len=kv_len,
         block_q=block_q, block_k=block_k, exp2=exp2, no_max=no_max,
-        fold_l=fold_l,
+        fold_l=fold_l, ilv_q=ilv_q, ilv_k=ilv_k,
     )
 
     if causal:
@@ -368,13 +419,13 @@ def _pad_seq(x, target):
     return x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
-def _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max):
-    out, _ = _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+def _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, ilv_q, ilv_k):
+    out, _ = _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, ilv_q, ilv_k)
     return out
 
 
-def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=False, exp2=False, no_max=False):
+def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=False, exp2=False, no_max=False, ilv_q=1, ilv_k=1):
     bh, sq, d = q.shape
     sk = k.shape[1]
     sq_p = _round_up(sq, block_q)
@@ -389,7 +440,7 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, kv_len=sk, block_q=block_q,
         block_k=block_k, upcast=upcast, exp2=exp2, no_max=no_max,
-        fold_l=fold_l,
+        fold_l=fold_l, ilv_q=ilv_q, ilv_k=ilv_k,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -420,11 +471,13 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=
     return out[:, :sq], (q, k, v, out[:, :sq], lse)
 
 
-def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max):
-    return _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max)
+def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, ilv_q, ilv_k):
+    return _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, ilv_q, ilv_k)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, res, dout):
+def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, ilv_q, ilv_k, res, dout):
+    # the interleave knobs shape only the forward's instruction schedule;
+    # the backward kernels are unchanged.
     q, k, v, out, lse = res
     bh, sq, d = q.shape
     sk = k.shape[1]
@@ -514,6 +567,7 @@ def flash_attention(
     interpret: bool = False,
     upcast: bool = False,
     no_max: bool | None = None,
+    ilv: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Differentiable flash attention over (BH, S, D) tensors.
 
@@ -537,6 +591,12 @@ def flash_attention(
             ~±55 (any GroupNorm'd/trained model); beyond that weights
             saturate equally instead of argmax-ing, and the clamp's
             gradient is treated as identity. Disabled under upcast.
+        ilv: (ilv_q, ilv_k) forward-tile interleave factors — split each
+            (block_q, block_k) tile into sub-chunks and issue all score
+            matmuls before the probs/PV chains so Mosaic can overlap the
+            VPU clamp/exp2 stream with MXU matmuls (probe_overlap.py).
+            Requires no_max (additive accumulation). Default from env
+            `GMTPU_FLASH_ILV` as "q,k" (e.g. "1,2"), else (1, 1).
 
     Returns:
         (BH, Sq, D) attention output in q.dtype.
@@ -556,4 +616,11 @@ def flash_attention(
     if no_max is None:
         no_max = os.environ.get("GMTPU_FLASH_NOMAX", "1") == "1"
     no_max = no_max and exp2  # clamp bounds are derived for the log2 domain
-    return _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max)
+    if ilv is None:
+        raw = os.environ.get("GMTPU_FLASH_ILV", "1,1")
+        parts = raw.split(",")
+        ilv = (int(parts[0]), int(parts[-1])) if len(parts) > 1 else (1, int(parts[0]))
+    ilv_q, ilv_k = ilv
+    if not no_max or block_q % ilv_q or block_k % ilv_k:
+        ilv_q = ilv_k = 1  # interleave is only derived for additive (no_max) tiles
+    return _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, ilv_q, ilv_k)

@@ -101,6 +101,40 @@ class TestAttention:
         )
         assert bool(jnp.all(jnp.isfinite(out)))
 
+    @pytest.mark.parametrize("ilv", [(1, 2), (2, 1), (2, 2)])
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_flash_interleaved_matches_monolithic(self, ilv, causal):
+        """Interleaved no_max tiles (MXU/VPU overlap split) are exact.
+
+        The interleave only reorders additive accumulations and sub-tiles
+        the masks; fwd and grads must match the monolithic kernel to f32
+        accumulation-order tolerance. Uses sk not divisible by block_k so
+        the kv-bound mask path is exercised per sub-chunk.
+        """
+        rng = np.random.RandomState(11)
+        sk = 256 if causal else 200  # causal: self-attn; else: ragged kv bound
+        q2 = jnp.asarray(rng.standard_normal((2, 256, 64)).astype(np.float32))
+        k2 = jnp.asarray(rng.standard_normal((2, sk, 64)).astype(np.float32))
+        v2 = jnp.asarray(rng.standard_normal((2, sk, 64)).astype(np.float32))
+        scale = 1 / 8.0
+
+        def loss(ilv):
+            def f(q, k, v):
+                out = flash_attention(
+                    q, k, v, scale=scale, causal=causal, interpret=True,
+                    no_max=True, block_q=128, block_k=128, ilv=ilv,
+                )
+                return jnp.sum(out ** 2)
+            return jax.value_and_grad(f, argnums=(0, 1, 2))(q2, k2, v2)
+
+        (l0, g0) = loss((1, 1))
+        (l1, g1) = loss(ilv)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
     def test_flash_bf16_matches_einsum(self):
         """bf16 inputs take the bf16-MXU matmul path; parity at bf16 tolerance."""
         q, k, v = self._qkv(b=1, sq=160, sk=160, c=32)
