@@ -629,3 +629,64 @@ class TestDataDirRecipes:
             self._run(segmentation_ddpm, [
                 "--steps", "1", "--data-dir", str(tmp_path),
             ])
+
+
+class TestServeRecipe:
+    """Serving: AOT-compiled DDIM sampler behind the HTTP API (recipes/
+    serve.py) — the deployment surface replacing the reference zoo
+    bundles' scripts/sampler.py + TorchScript export story."""
+
+    def _tiny_sampler(self, batch=2):
+        from generativemodels_tpu.recipes.serve import build_sampler
+
+        return build_sampler(
+            spatial_dims=2, size=16, channels=(8, 8), norm_groups=8,
+            batch=batch, ddim_steps=3,
+        )
+
+    def test_http_roundtrip(self):
+        import base64
+        import io
+        import json
+        import urllib.request
+
+        from generativemodels_tpu.recipes.serve import _SamplerState, start_server
+
+        fn, shape = self._tiny_sampler(batch=2)
+        state = _SamplerState(jax.jit(fn), shape)
+        httpd = start_server(state, port=0)
+        try:
+            base = f"http://127.0.0.1:{httpd.server_port}"
+            with urllib.request.urlopen(base + "/healthz") as r:
+                health = json.loads(r.read())
+            assert health["status"] == "ok" and health["batch"] == 2
+
+            req = urllib.request.Request(
+                base + "/sample",
+                data=json.dumps({"n": 3, "seed": 5}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                resp = json.loads(r.read())
+            imgs = np.load(io.BytesIO(base64.b64decode(resp["data_b64"])))
+            assert imgs.shape == (3, 1, 16, 16)  # 3 rounds up to 2 batches
+            assert np.isfinite(imgs).all()
+
+            bad = urllib.request.Request(
+                base + "/sample", data=b'{"n": 0}', method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError):
+                urllib.request.urlopen(bad)
+        finally:
+            httpd.shutdown()
+
+    def test_export_reload_matches_jit(self, tmp_path):
+        from generativemodels_tpu.utils.export import load_exported, save_exported
+
+        fn, _ = self._tiny_sampler(batch=1)
+        path = str(tmp_path / "sampler.jaxexport")
+        save_exported(path, fn, jnp.int32(0))
+        reloaded = load_exported(path)
+        a = np.asarray(jax.jit(fn)(jnp.int32(7)))
+        b = np.asarray(reloaded(jnp.int32(7)))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
