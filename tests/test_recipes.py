@@ -690,3 +690,36 @@ class TestServeRecipe:
         a = np.asarray(jax.jit(fn)(jnp.int32(7)))
         b = np.asarray(reloaded(jnp.int32(7)))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_serve_restores_checkpoint(self, tmp_path):
+        """build_sampler(checkpoint_dir=...) serves the trained params,
+        not the fresh init (fresh zero-init out conv ⇒ pure-noise DDIM
+        trajectory; restored params must change the output)."""
+        from generativemodels_tpu.recipes.serve import build_sampler
+        from generativemodels_tpu.utils import CheckpointManager
+
+        fn0, _ = self._tiny_sampler(batch=1)
+        base = np.asarray(fn0(jnp.int32(3)))
+
+        # fabricate a "trained" checkpoint: perturb the fresh params
+        from generativemodels_tpu.networks.nets import DiffusionModelUNet
+
+        model = DiffusionModelUNet(
+            spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, True),
+            num_head_channels=8, norm_num_groups=8,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, 16, 16)), jnp.zeros((1,), jnp.int32)
+        )
+        params = jax.tree.map(lambda p: p + 0.05, variables["params"])
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(1, {"params": params, "step": 1}, force=True)
+        mgr.close()
+
+        fn1, _ = build_sampler(
+            spatial_dims=2, size=16, channels=(8, 8), norm_groups=8,
+            batch=1, ddim_steps=3, checkpoint_dir=str(tmp_path / "ck"),
+        )
+        restored = np.asarray(fn1(jnp.int32(3)))
+        assert not np.allclose(base, restored)
