@@ -3,6 +3,7 @@ from .pipeline import (
     batched,
     batched_pairs,
     cached_dataset,
+    device_batches,
     file_dataset,
     paired_stream,
     prefetch_to_device,
@@ -17,6 +18,7 @@ __all__ = [
     "batched",
     "batched_pairs",
     "cached_dataset",
+    "device_batches",
     "file_dataset",
     "paired_stream",
     "prefetch_to_device",

@@ -223,6 +223,36 @@ def training_stream(
     return stream
 
 
+def device_batches(
+    data_dir: str,
+    shape,
+    batch: int,
+    fit: str = "crop_pad",
+    cache: bool = False,
+    augment: bool = False,
+    seed: int = 0,
+    prefetch: int = 2,
+) -> Iterator:
+    """`training_stream` → `batched` → (B, 1, *shape) float32 → device.
+
+    The one shared `--data-dir` consumption path of the training recipes:
+    fitted single-channel samples are stacked, reshaped to the NCHW/NCDHW
+    layout the nets expect, and kept `prefetch` batches in flight on
+    device ahead of the jitted step.
+    """
+    import jax.numpy as jnp
+
+    stream = training_stream(
+        data_dir, shape, fit, cache=cache, augment=augment, seed=seed
+    )
+    target = (batch, 1) + tuple(shape)
+    return prefetch_to_device(
+        (jnp.asarray(b, jnp.float32).reshape(target)
+         for b in batched(stream, batch)),
+        size=prefetch,
+    )
+
+
 def _read_any(path: str) -> np.ndarray:
     """Read one sample file by extension (npy / NIfTI / image)."""
     from . import native
@@ -233,6 +263,23 @@ def _read_any(path: str) -> np.ndarray:
     if p.endswith((".nii", ".nii.gz")):
         return native.read_nifti(path)
     return native.read_image(path)
+
+
+def _read_label(path: str) -> np.ndarray:
+    """Read a label map keeping RAW integer class values.
+
+    Image decoders (native and PIL) rescale by the source bit depth —
+    right for intensities, wrong for class ids ({0,1,2} would become
+    {0, 1/255, 2/255} and one-hot to all-background). PNG/etc. label
+    maps therefore decode without any scaling; npy/NIfTI label files
+    already come through _read_any unscaled.
+    """
+    if path.lower().endswith(_IMAGE_EXTS):
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im).astype(np.float32)
+    return _read_any(path)
 
 
 def paired_stream(
@@ -276,35 +323,41 @@ def paired_stream(
         rng.shuffle(order)
         for i in order:
             img = ensure_channel_first(_read_any(images[i]), nd)
-            lab = ensure_channel_first(_read_any(labels[i]), nd)
-            yield (
-                fit_sample(img, shape, fit),
-                fit_sample(lab, shape, fit, rescale_intensity=False, order=0),
-            )
+            lab = ensure_channel_first(_read_label(labels[i]), nd)
+            if fit == "none":  # same pass-through contract as fitted_stream
+                yield img, lab
+            else:
+                yield (
+                    fit_sample(img, shape, fit),
+                    fit_sample(lab, shape, fit, rescale_intensity=False, order=0),
+                )
         epoch += 1
         if not loop:
             return
 
 
-def batched(source: Iterable[np.ndarray], batch_size: int) -> Iterator[np.ndarray]:
-    """Stack fixed-shape samples into (B, ...) batches (drops remainder)."""
-    buf = []
+def _chunks(source: Iterable, batch_size: int) -> Iterator[list]:
+    """Group an iterator into full lists of `batch_size` (drops remainder)."""
+    buf: list = []
     for item in source:
         buf.append(item)
         if len(buf) == batch_size:
-            yield np.stack(buf)
+            yield buf
             buf = []
+
+
+def batched(source: Iterable[np.ndarray], batch_size: int) -> Iterator[np.ndarray]:
+    """Stack fixed-shape samples into (B, ...) batches (drops remainder)."""
+    return (np.stack(buf) for buf in _chunks(source, batch_size))
 
 
 def batched_pairs(source: Iterable[tuple], batch_size: int) -> Iterator[tuple]:
     """Stack an iterator of sample tuples into tuples of (B, ...) batches
     (drops remainder) — `batched` for paired_stream output."""
-    buf: list[tuple] = []
-    for item in source:
-        buf.append(item)
-        if len(buf) == batch_size:
-            yield tuple(np.stack(part) for part in zip(*buf))
-            buf = []
+    return (
+        tuple(np.stack(part) for part in zip(*buf))
+        for buf in _chunks(source, batch_size)
+    )
 
 
 def prefetch_to_device(iterator: Iterable, size: int = 2, devices=None) -> Iterator:

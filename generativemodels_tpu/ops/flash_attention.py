@@ -618,9 +618,12 @@ def flash_attention(
     no_max = no_max and exp2  # clamp bounds are derived for the log2 domain
     if ilv is None:
         raw = os.environ.get("GMTPU_FLASH_ILV", "1,1")
-        parts = raw.split(",")
-        ilv = (int(parts[0]), int(parts[-1])) if len(parts) > 1 else (1, int(parts[0]))
-    ilv_q, ilv_k = ilv
+        try:
+            parts = [int(p) for p in raw.split(",")]
+            ilv = (parts[0], parts[-1]) if len(parts) > 1 else (1, parts[0])
+        except ValueError:  # malformed knob degrades to off, like NOMAX
+            ilv = (1, 1)
+    ilv_q, ilv_k = max(1, ilv[0]), max(1, ilv[1])
     if not no_max or block_q % ilv_q or block_k % ilv_k:
         ilv_q = ilv_k = 1  # interleave is only derived for additive (no_max) tiles
     return _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, ilv_q, ilv_k)

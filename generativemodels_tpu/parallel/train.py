@@ -69,6 +69,7 @@ def make_diffusion_train_step(
         return jnp.mean((pred - target) ** 2)
 
     def step(state: TrainState, images, rng):
+        sharding = None
         if mesh is not None:
             if spatial_shard_axis is not None:
                 sharding = spatial_sharding(
@@ -97,10 +98,11 @@ def make_diffusion_train_step(
 
             def micro(carry, inp):
                 im, no, ts = inp
-                if mesh is not None:
-                    im = jax.lax.with_sharding_constraint(
-                        im, batch_sharding(mesh, im.ndim)
-                    )
+                if sharding is not None:
+                    # the SAME sharding as the full batch: re-constraining
+                    # with batch_sharding here would all-gather a
+                    # spatially-sharded volume per microbatch
+                    im = jax.lax.with_sharding_constraint(im, sharding)
                 l, g = jax.value_and_grad(loss_fn)(state.params, im, no, ts)
                 acc_l, acc_g = carry
                 return (acc_l + l, jax.tree_util.tree_map(jnp.add, acc_g, g)), None

@@ -159,13 +159,9 @@ def main() -> None:
 
     data_iter = None
     if args.data_dir:
-        from ..data import batched, prefetch_to_device, training_stream
+        from ..data import device_batches
 
-        source = batched(training_stream(args.data_dir, (args.size,) * 2), args.batch)
-        data_iter = prefetch_to_device(
-            (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
-             for b in source)
-        )
+        data_iter = device_batches(args.data_dir, (args.size,) * 2, args.batch)
 
     rng = jax.random.PRNGKey(42)
     t0 = time.time()

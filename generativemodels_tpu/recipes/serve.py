@@ -150,7 +150,11 @@ def _make_handler(state: _SamplerState):
             except (ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
                 return
-            imgs = state.sample(n, seed)
+            try:
+                imgs = state.sample(n, seed)
+            except Exception as e:  # device OOM, platform mismatch, ...
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             buf = io.BytesIO()
             np.save(buf, imgs)
             self._json(200, {
@@ -212,6 +216,10 @@ def main() -> None:
     first = fn(jnp.int32(args.seed))
     jax.block_until_ready(first)
     dt = time.time() - t0
+    # the exported blob's compiled batch wins over the CLI flags: an
+    # exported-with---batch-1 sampler restarted with --batch 4 must not
+    # silently return 1 image per request
+    shape = tuple(first.shape)
     print(f"warmup sample ({shape}, DDIM-{args.ddim_steps}): {dt:.1f}s "
           f"(compile included; steady-state is cached)")
 

@@ -97,17 +97,11 @@ def main() -> None:
 
     data_iter = None
     if args.data_dir:
-        from ..data import batched, prefetch_to_device, training_stream
+        from ..data import device_batches
 
-        stream = training_stream(
-            args.data_dir, (args.size,) * 2, args.fit,
+        data_iter = device_batches(
+            args.data_dir, (args.size,) * 2, args.batch, args.fit,
             cache=args.cache, augment=args.augment,
-        )
-        source = batched(stream, args.batch)
-        data_iter = prefetch_to_device(
-            (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
-             for b in source),
-            size=2,
         )
 
     for i in range(args.steps):

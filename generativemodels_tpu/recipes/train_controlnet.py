@@ -103,13 +103,11 @@ def main() -> None:
 
     data_iter = None
     if args.data_dir:
-        from ..data import batched, prefetch_to_device, training_stream
+        from ..data import device_batches
 
-        stream = training_stream(args.data_dir, (args.size,) * 2, args.fit,
-                                 cache=args.cache, augment=args.augment)
-        data_iter = prefetch_to_device(
-            (jnp.asarray(b, jnp.float32).reshape(args.batch, 1, args.size, args.size)
-             for b in batched(stream, args.batch)), size=2,
+        data_iter = device_batches(
+            args.data_dir, (args.size,) * 2, args.batch, args.fit,
+            cache=args.cache, augment=args.augment,
         )
 
     def next_batch(k):

@@ -189,17 +189,11 @@ def main(argv=None) -> None:
 
     data_iter = None
     if args.data_dir:
-        from ..data import batched, prefetch_to_device, training_stream
+        from ..data import device_batches
 
-        shape = (args.batch, 1) + (args.size,) * nd
-        stream = training_stream(
-            args.data_dir, (args.size,) * nd, args.fit,
+        data_iter = device_batches(
+            args.data_dir, (args.size,) * nd, args.batch, args.fit,
             cache=args.cache, augment=args.augment,
-        )
-        source = batched(stream, args.batch)
-        data_iter = prefetch_to_device(
-            (jnp.asarray(b, jnp.float32).reshape(shape) for b in source),
-            size=2,
         )
 
     def synth(key):

@@ -626,12 +626,41 @@ class TestPairedStream:
         from generativemodels_tpu.data import paired_stream
 
         img_d, lab_d = self._dirs(tmp_path)
-        labs = sorted(float(lab[8, 8]) for _, lab in
-                      (next(paired_stream(img_d, lab_d, (16, 16), seed=0))
-                       for _ in range(1)))
         it = paired_stream(img_d, lab_d, (16, 16), seed=0, loop=False)
         vals = sorted(float(lab[8, 8]) for _, lab in it)
         assert vals == [0.0, 1.0, 2.0, 3.0]
+
+    def test_png_label_values_not_rescaled(self, tmp_path):
+        """PNG label maps keep raw class ids — the image decoders'
+        bit-depth rescale (uint8 -> /255) must NOT apply to labels, or
+        {0,1,2} one-hots to all-background."""
+        from PIL import Image
+
+        from generativemodels_tpu.data import paired_stream
+
+        img_d, lab_d = tmp_path / "img", tmp_path / "lab"
+        img_d.mkdir(), lab_d.mkdir()
+        for i in range(3):
+            Image.fromarray(
+                np.full((16, 16), 60 * i, np.uint8)
+            ).save(img_d / f"s_{i}.png")
+            Image.fromarray(
+                np.full((16, 16), i, np.uint8)
+            ).save(lab_d / f"s_{i}.png")
+        it = paired_stream(str(img_d), str(lab_d), (16, 16), seed=0, loop=False)
+        pairs = list(it)
+        vals = sorted(float(lab[8, 8]) for _, lab in pairs)
+        assert vals == [0.0, 1.0, 2.0]  # raw ids, not i/255
+        assert all(float(img.max()) <= 1.0 for img, _ in pairs)
+
+    def test_paired_stream_fit_none(self, tmp_path):
+        """--fit none passes pairs through untouched (original shapes,
+        no intensity rescale) instead of raising on the missing mode."""
+        from generativemodels_tpu.data import paired_stream
+
+        img_d, lab_d = self._dirs(tmp_path)
+        img, lab = next(paired_stream(img_d, lab_d, (16, 16), fit="none"))
+        assert img.shape == (20, 24) and lab.shape == (10, 12)
 
     def test_count_mismatch_raises(self, tmp_path):
         from generativemodels_tpu.data import paired_stream
