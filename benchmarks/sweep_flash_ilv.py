@@ -70,7 +70,7 @@ def main() -> None:
         v = jax.random.normal(kv, (bh, seq, d), jnp.bfloat16)
         ARGS = (q, k, v)
         scale = 1.0 / d**0.5
-        block_q, block_k = _pick_blocks(seq, d)  # the shipped dispatch blocks
+        block_q, block_k, _ = _pick_blocks(seq, d)  # the shipped dispatch blocks
         base_ms = None
         for ilv in ILVS:
             fn = lambda q, k, v, ilv=ilv: flash_attention(

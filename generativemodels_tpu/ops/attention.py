@@ -8,6 +8,8 @@ memory-efficient path replaced by the Pallas flash kernel.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -60,20 +62,24 @@ def resolve_use_flash(
     return on_tpu and seq >= _FLASH_MIN_SEQ and head_dim <= _FLASH_MAX_HEAD_DIM
 
 
-def _pick_blocks(seq: int, head_dim: int) -> tuple[int, int]:
-    """(block_q, block_k) by shape, from the on-chip sweep
-    (benchmarks/sweep_flash_blocks.py -> results_flash_sweep.json).
+def _pick_blocks(seq: int, head_dim: int) -> tuple[int, int, tuple[int, int]]:
+    """(block_q, block_k, (ilv_q, ilv_k)) by shape, from the on-chip
+    sweeps (benchmarks/sweep_flash_blocks.py -> results_flash_sweep.json;
+    benchmarks/sweep_flash_ilv.py -> results_flash_ilv.json).
 
     Narrow heads (d < 128) leave the MXU half-filled per tile, so bigger
     q tiles amortise the K/V streaming: at seq 32k d=64 bq=1024 is 22%
     faster than bq=256; at 4k, bq=512. Wide heads (d=256, the 2D configs)
-    are insensitive to bq — keep the VMEM-lean default.
+    are insensitive to bq — keep the VMEM-lean default. The interleave
+    factors split the forward tile into independent MXU/VPU chains
+    (flash_attention.py `ilv`); (1, 1) = monolithic until a sweep says
+    otherwise for the shape class.
     """
     if head_dim >= 128:
-        return 256, 1024
+        return 256, 1024, (1, 1)
     if seq >= 8192:
-        return 1024, 1024
-    return 512, 1024
+        return 1024, 1024, (1, 1)
+    return 512, 1024, (1, 1)
 
 
 def dot_product_attention(
@@ -126,11 +132,12 @@ def dot_product_attention(
         qf = qh.transpose(0, 2, 1, 3).reshape(b * num_heads, sq, head_dim)
         kf = kh.transpose(0, 2, 1, 3).reshape(b * num_heads, sk, head_dim)
         vf = vh.transpose(0, 2, 1, 3).reshape(b * num_heads, sk, head_dim)
-        block_q, block_k = _pick_blocks(sq, head_dim)
+        block_q, block_k, ilv = _pick_blocks(sq, head_dim)
         out = flash_attention(
             qf, kf, vf, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, interpret=not _on_tpu(),
             upcast=upcast,
+            ilv=ilv if os.environ.get("GMTPU_FLASH_ILV") is None else None,
         )
         out = out.reshape(b, num_heads, sq, head_dim).transpose(0, 2, 1, 3)
         return out.reshape(b, sq, inner)
