@@ -537,3 +537,20 @@ class TestFusedNormSiluConv3d:
         assert float(jnp.max(jnp.abs(out_std))) > 0
         np.testing.assert_allclose(
             np.asarray(out_std), np.asarray(out_fused), atol=2e-5)
+
+
+class TestFlashIlvEnv:
+    def test_env_knob_and_malformed_values(self, monkeypatch):
+        """GMTPU_FLASH_ILV overrides dispatch; malformed/zero degrade to off."""
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.standard_normal((1, 1024, 64)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((1, 1024, 64)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((1, 1024, 64)).astype(np.float32))
+        ref = dot_product_attention(q, k, v, num_heads=1, use_flash=False)
+        for val in ["2,2", "4", "", "0,2", "banana"]:
+            monkeypatch.setenv("GMTPU_FLASH_ILV", val)
+            out = dot_product_attention(q, k, v, num_heads=1, use_flash=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5,
+                err_msg=f"GMTPU_FLASH_ILV={val!r}",
+            )
