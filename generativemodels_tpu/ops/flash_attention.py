@@ -87,11 +87,16 @@ def _build_mask(qi, kj, block_q, block_k, kv_len, causal, *, interior,
 
 
 def _pv_update(p, v, rows, l_ref, acc_ref, *, fold_l):
-    """Accumulate one PV product (and the row-sum l) for a row slice."""
+    """Accumulate one PV product (and the row-sum l) for a row slice.
+
+    With `fold_l` the v tile arrives with the ones-column ALREADY padded
+    on (host-side, `_flash_fwd_impl`) — padding per tile in-kernel would
+    re-materialise the whole tile on the VPU every grid step; padding
+    once in HBM costs d/(d+1) extra bytes on the v stream instead.
+    """
     if fold_l:
-        vl = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
         acc_ref[rows] = acc_ref[rows] + jax.lax.dot_general(
-            p.astype(v.dtype), vl, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return
@@ -437,6 +442,13 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=
     # rides the MXU for free (ones-column on v); at full-lane widths the
     # extra column would cost a whole new 128-lane tile — keep the VPU sum.
     fold_l = no_max and d % 128 != 0
+    dv = d
+    if fold_l:
+        # ones-column padded ONCE here (not per tile in-kernel): masked/
+        # dead kv rows have p == exactly 0 under no_max, so the column
+        # accumulates the true row-sum l into acc's last column.
+        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, 1)), constant_values=1)
+        dv = d + 1
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, kv_len=sk, block_q=block_q,
         block_k=block_k, upcast=upcast, exp2=exp2, no_max=no_max,
@@ -448,7 +460,7 @@ def _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast=
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
