@@ -32,6 +32,15 @@ SHAPES = {
     "2d_1024_d256": (128, 1024, 256),
 }
 ILVS = [(1, 1), (1, 2), (2, 1), (2, 2), (1, 4), (4, 1), (2, 4), (4, 2)]
+# (block_q, block_k, ilv_q, ilv_k) rows probing bigger tiles WITH splits:
+# bk=2048 split 2/4-way keeps chunk matmuls at the proven sizes while
+# halving grid steps (fewer acc inits/epilogues, fewer DMA descriptors).
+BLOCK_VARIANTS = [
+    (1024, 2048, 1, 2),
+    (1024, 2048, 1, 4),
+    (1024, 2048, 2, 2),
+    (2048, 1024, 2, 1),
+]
 N_SHORT, N_LONG = 2, 6
 
 
@@ -70,18 +79,20 @@ def main() -> None:
         v = jax.random.normal(kv, (bh, seq, d), jnp.bfloat16)
         ARGS = (q, k, v)
         scale = 1.0 / d**0.5
-        block_q, block_k, _ = _pick_blocks(seq, d)  # the shipped dispatch blocks
+        bq0, bk0, _ = _pick_blocks(seq, d)  # the shipped dispatch blocks
+        combos = [(bq0, bk0, iq, ik) for iq, ik in ILVS]
+        combos += [c for c in BLOCK_VARIANTS if c[0] <= seq and c[1] <= seq]
         base_ms = None
-        for ilv in ILVS:
-            fn = lambda q, k, v, ilv=ilv: flash_attention(
-                q, k, v, scale=scale, block_q=block_q, block_k=block_k, ilv=ilv
+        for bq, bk, iq, ik in combos:
+            fn = lambda q, k, v, bq=bq, bk=bk, iq=iq, ik=ik: flash_attention(
+                q, k, v, scale=scale, block_q=bq, block_k=bk, ilv=(iq, ik)
             )
             ms = timeit(fn)
             entry = {
-                "shape": label, "ilv_q": ilv[0], "ilv_k": ilv[1],
-                "fwd_ms": round(ms, 3),
+                "shape": label, "block_q": bq, "block_k": bk,
+                "ilv_q": iq, "ilv_k": ik, "fwd_ms": round(ms, 3),
             }
-            if ilv == (1, 1):
+            if (bq, bk, iq, ik) == (bq0, bk0, 1, 1):
                 base_ms = ms
             entry["speedup_vs_mono"] = round(base_ms / ms, 3) if base_ms else None
             print(json.dumps(entry))
