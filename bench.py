@@ -161,14 +161,15 @@ def _probe_device(timeout_s: int = 120) -> bool:
         return False
 
 
-def _ensure_backend(max_tries: int = 15, sleep_s: int = 75) -> None:
+def _ensure_backend(max_tries: int = 40, sleep_s: int = 75) -> None:
     """Survive transient tunnel outages at measurement time.
 
     The axon TPU tunnel can return UNAVAILABLE (or hang init) for tens of
-    minutes at a stretch. jax caches a failed backend init for the
-    process lifetime, so on a failed bounded probe we sleep and re-exec
-    this script fresh — up to ~max_tries*(sleep_s+probe timeout), ~50 min
-    — before proceeding and letting the in-process init try its luck.
+    minutes at a stretch (a >1.5 h outage was observed 2026-08-18). jax
+    caches a failed backend init for the process lifetime, so on a failed
+    bounded probe we sleep and re-exec this script fresh — up to
+    ~max_tries*(sleep_s+probe timeout), ~2 h — before proceeding and
+    letting the in-process init try its luck.
     """
     if _probe_device():
         return
