@@ -103,14 +103,17 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, variant):
     halves = {"ilv2": 2, "ilv2_bf16": 2, "ilv4": 4}.get(variant, 1)
     bk = k_ref.shape[1] // halves
     bf16_dom = variant in ("bf16dom", "ilv2_bf16")
-    score_ty = jnp.bfloat16 if (bf16_dom or variant == "mxu_only") else jnp.float32
-
+    # Mosaic requires 32-bit matmul accumulators; bf16-domain variants cast
+    # the f32 scores down afterwards (one VPU pass — counted against them).
     ss = []
     for h in range(halves):
         k = k_ref[0, h * bk:(h + 1) * bk]
-        ss.append(jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=score_ty
-        ))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if bf16_dom or variant == "mxu_only":
+            s = s.astype(jnp.bfloat16)
+        ss.append(s)
     for h in range(halves):
         v = v_ref[0, h * bk:(h + 1) * bk]
         vl = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
