@@ -72,13 +72,16 @@ def _pick_blocks(seq: int, head_dim: int) -> tuple[int, int, tuple[int, int]]:
     faster than bq=256; at 4k, bq=512. Wide heads (d=256, the 2D configs)
     are insensitive to bq — keep the VMEM-lean default. The interleave
     factors split the forward tile into independent MXU/VPU chains
-    (flash_attention.py `ilv`); (1, 1) = monolithic until a sweep says
-    otherwise for the shape class.
+    (flash_attention.py `ilv`). The on-chip real-kernel sweep
+    (results_flash_ilv.json) picked bk=2048 split (2, 2) for the long
+    narrow-head class (5.89 ms vs 6.20 mono at 32k/d64, +5.2%); at
+    d>=128 every interleave variant was 5-10x SLOWER (the wide-head tile
+    already fills both units), so those stay monolithic.
     """
     if head_dim >= 128:
         return 256, 1024, (1, 1)
     if seq >= 8192:
-        return 1024, 1024, (1, 1)
+        return 1024, 2048, (2, 2)
     return 512, 1024, (1, 1)
 
 
