@@ -30,6 +30,12 @@ CASES = {
     # label: (B, M, K, N) — scores tile and PV tile of the 32k/d64 kernel
     "scores_1024x64x2048": (64, 1024, 64, 2048),
     "pv_1024x2048x64": (64, 1024, 2048, 64),
+    # transposed forms: out^T = v^T @ probs^T and scores^T = k @ q^T.
+    # Both put the tile's wide dim on N (the MXU's 128-lane output axis)
+    # and the narrow d=64 on M (which streams) — if these run near peak,
+    # a transposed flash forward lifts the PV bottleneck.
+    "pvT_64x2048x1024": (64, 64, 2048, 1024),
+    "scoresT_2048x64x1024": (64, 2048, 64, 1024),
 }
 N_SHORT, N_LONG = 2, 8
 
