@@ -1,0 +1,94 @@
+"""Accuracy feasibility of an int8 PV matmul inside the flash kernel.
+
+PERFORMANCE.md's int8 probe (results_int8_attn.json) left one lever
+open: quantizing the softmax probabilities to int8 for the PV product
+(v5e int8 MXU is 2x bf16, and PV's narrow N=64 is the kernel's slow
+matmul). The gating question is numerical: at 32k keys a row of softmax
+probabilities sums to 1, so typical entries are ~1/32k — two orders of
+magnitude below int8's smallest per-row-max-scaled step (max_p/127).
+This probe measures what that does to the attention *output*, which is
+what actually matters, across the score temperatures a GroupNorm'd
+UNet can produce (diffuse -> peaked).
+
+Simulation (CPU, numpy): scores ~ N(0, sigma^2) at seq 32k / d=64,
+v ~ N(0,1); exact f32 softmax @ v vs
+  - int8 probs, per-row max symmetric scale (the cheapest in-kernel
+    scheme: requires re-adding the per-tile row max the no_max kernel
+    deleted), int32 accumulate;
+  - the bf16 reference point (bf16 probs @ bf16 v, f32 accumulate),
+    i.e. what the kernel does today.
+Reported: max / mean relative output error per sigma.
+
+Verdict recorded in results_int8_pv_accuracy.json and the PERFORMANCE.md
+kernel notes. Reference workload surface: the flagship 3D sampler's
+(bh=2, 32k, d=64) attention (generative/networks/nets/
+diffusion_model_unet.py:128-154 is the torch analogue).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+SEQ = 32768
+D = 64
+ROWS = 256  # enough rows for stable max/mean statistics
+SEED = 0
+
+
+def softmax(s):
+    m = s.max(axis=-1, keepdims=True)
+    p = np.exp(s - m)
+    return p / p.sum(axis=-1, keepdims=True)
+
+
+def run(sigma: float, rng) -> dict:
+    s = rng.normal(0.0, sigma, size=(ROWS, SEQ)).astype(np.float32)
+    v = rng.normal(0.0, 1.0, size=(SEQ, D)).astype(np.float32)
+    p = softmax(s)
+    out = p @ v  # f32 exact
+
+    # today's kernel: bf16 operands, f32 accumulate
+    def to_bf16(x):
+        x32 = np.asarray(x, np.float32).view(np.uint32)
+        return ((x32 + 0x8000) & 0xFFFF0000).view(np.float32)
+
+    out_bf16 = to_bf16(p) @ to_bf16(v)
+
+    # int8 probs: per-row max symmetric scale, int32 accumulate,
+    # v per-channel int8 (max scale) — the most favourable cheap scheme.
+    p_scale = p.max(axis=-1, keepdims=True) / 127.0
+    p_q = np.clip(np.round(p / p_scale), 0, 127).astype(np.int8)
+    v_scale = np.abs(v).max(axis=0, keepdims=True) / 127.0
+    v_q = np.clip(np.round(v / v_scale), -127, 127).astype(np.int8)
+    acc = p_q.astype(np.int32) @ v_q.astype(np.int32)
+    out_i8 = acc.astype(np.float32) * p_scale * v_scale
+
+    denom = np.abs(out).max()
+    # fraction of each row's probability mass int8 zeroes out
+    zeroed = (p * (p_q == 0)).sum(axis=-1).mean()
+    ent = float(np.mean(-(p * np.log(np.maximum(p, 1e-30))).sum(-1)))
+    return {
+        "sigma": sigma,
+        "softmax_entropy_nats": round(ent, 2),
+        "mass_zeroed_by_int8": round(float(zeroed), 4),
+        "rel_err_bf16_max": round(float(np.abs(out_bf16 - out).max() / denom), 5),
+        "rel_err_int8_max": round(float(np.abs(out_i8 - out).max() / denom), 5),
+        "rel_err_int8_mean": round(float(np.abs(out_i8 - out).mean() / denom), 5),
+    }
+
+
+def main() -> None:
+    rng = np.random.default_rng(SEED)
+    rows = [run(sigma, rng) for sigma in (0.5, 1.0, 2.0, 4.0, 8.0)]
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results_int8_pv_accuracy.json")
+    with open(out_path, "w") as f:
+        json.dump(rows, f, indent=1)
+    for r in rows:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()
