@@ -443,6 +443,20 @@ class TestFlashDispatchEnvelope:
         assert resolve_use_flash(256, 512, use_flash=True, **on)
         assert not resolve_use_flash(32768, 64, use_flash=False, **on)
 
+    def test_block_and_interleave_table(self):
+        """Pin the swept (block_q, block_k, ilv) choices per shape class
+        (benchmarks/results_flash_sweep.json + results_flash_ilv.json):
+        long narrow-head tiles interleave (2,2) at bk=2048; wide heads
+        and short sequences stay monolithic (interleave measured 5-10x
+        slower at d>=128)."""
+        from generativemodels_tpu.ops.attention import _pick_blocks
+
+        assert _pick_blocks(32768, 64) == (1024, 2048, (2, 2))   # 3D 128^3
+        assert _pick_blocks(8192, 64) == (1024, 2048, (2, 2))
+        assert _pick_blocks(4096, 64) == (512, 1024, (1, 1))     # 3D 64^3
+        assert _pick_blocks(1024, 256) == (256, 1024, (1, 1))    # 2D lvl1
+        assert _pick_blocks(32768, 128) == (256, 1024, (1, 1))   # wide head
+
     def test_wide_head_kernel_still_correct(self):
         """d=512 through the kernel (forced) matches einsum — the gate is
         a performance choice, not a correctness one."""
