@@ -146,3 +146,134 @@ def load_reference_losses():
         return ref_adv
     except Exception:
         return None
+
+
+def load_reference_nets():
+    """Returns the reference `generative.networks.nets` module or None.
+
+    The reference nets import three real-MONAI blocks
+    (diffusion_model_unet.py:40-42, autoencoderkl.py:21-22). The stubs
+    below reproduce real MONAI's *module tree* exactly — `Convolution`
+    is an nn.Sequential with a "conv" child, `MLPBlock` owns
+    linear1/linear2 — so the state_dict KEYS these models emit are
+    bit-identical to what published model-zoo checkpoints contain.
+    That key fidelity is what `networks/zoo_convert.py` is tested
+    against.
+    """
+    _install_monai_stub()
+    import sys as _sys
+
+    try:
+        import torch
+        from torch import nn
+
+        monai = _sys.modules["monai"]
+
+        class Convolution(nn.Sequential):
+            # real MONAI: monai/networks/blocks/convolutions.py — adds the
+            # raw conv as child "conv"; conv_only=True (the only mode the
+            # reference uses) skips the ADN block entirely.
+            def __init__(self, spatial_dims, in_channels, out_channels,
+                         strides=1, kernel_size=3, adn_ordering="NDA",
+                         act="PRELU", norm="INSTANCE", dropout=None,
+                         dropout_dim=1, dilation=1, groups=1, bias=True,
+                         conv_only=False, is_transposed=False, padding=None,
+                         output_padding=None):
+                super().__init__()
+                assert conv_only, "stub supports the reference's conv_only mode"
+                if padding is None:
+                    padding = (kernel_size - 1) // 2 * dilation
+                if is_transposed:
+                    if output_padding is None:
+                        output_padding = strides - 1
+                    conv_type = (nn.ConvTranspose1d, nn.ConvTranspose2d,
+                                 nn.ConvTranspose3d)[spatial_dims - 1]
+                    conv = conv_type(in_channels, out_channels,
+                                     kernel_size=kernel_size, stride=strides,
+                                     padding=padding,
+                                     output_padding=output_padding,
+                                     groups=groups, bias=bias,
+                                     dilation=dilation)
+                else:
+                    conv_type = (nn.Conv1d, nn.Conv2d, nn.Conv3d)[spatial_dims - 1]
+                    conv = conv_type(in_channels, out_channels,
+                                     kernel_size=kernel_size, stride=strides,
+                                     padding=padding, dilation=dilation,
+                                     groups=groups, bias=bias)
+                self.add_module("conv", conv)
+
+        class _GEGLU(nn.Module):
+            # real MONAI: x, gate = chunk(2, -1); x * gelu(gate)
+            def forward(self, x):
+                x, gate = x.chunk(2, dim=-1)
+                return x * torch.nn.functional.gelu(gate)
+
+        class MLPBlock(nn.Module):
+            # real MONAI: monai/networks/blocks/mlp.py — linear1/linear2
+            # children; GEGLU doubles linear1's output width.
+            def __init__(self, hidden_size, mlp_dim, dropout_rate=0.0,
+                         act="GELU", dropout_mode="vit"):
+                super().__init__()
+                mlp_dim = mlp_dim or hidden_size * 4
+                self.linear1 = nn.Linear(
+                    hidden_size, mlp_dim * 2 if act == "GEGLU" else mlp_dim)
+                self.linear2 = nn.Linear(mlp_dim, hidden_size)
+                self.fn = _GEGLU() if act == "GEGLU" else nn.GELU()
+                self.drop1 = nn.Dropout(dropout_rate)
+                self.drop2 = nn.Dropout(dropout_rate)
+
+            def forward(self, x):
+                return self.drop2(self.linear2(self.drop1(self.fn(self.linear1(x)))))
+
+        class Pool:
+            AVG = "avg"
+
+            def __class_getitem__(cls, item):
+                kind, spatial_dims = item
+                assert kind == cls.AVG
+                return (nn.AvgPool1d, nn.AvgPool2d, nn.AvgPool3d)[spatial_dims - 1]
+
+        def ensure_tuple_rep(val, dim):
+            if isinstance(val, (tuple, list)):
+                if len(val) != dim:
+                    raise ValueError(f"length {len(val)} != {dim}")
+                return tuple(val)
+            return (val,) * dim
+
+        blocks = types.ModuleType("monai.networks.blocks")
+        blocks.Convolution = Convolution
+        blocks.MLPBlock = MLPBlock
+        networks = getattr(monai, "networks", None) or types.ModuleType("monai.networks")
+        layers = getattr(networks, "layers", None) or types.ModuleType("monai.networks.layers")
+        factories = types.ModuleType("monai.networks.layers.factories")
+        factories.Pool = Pool
+        layers.factories = factories
+        networks.layers = layers
+        networks.blocks = blocks
+        monai.networks = networks
+        _sys.modules["monai.networks"] = networks
+        _sys.modules["monai.networks.blocks"] = blocks
+        _sys.modules["monai.networks.layers"] = layers
+        _sys.modules["monai.networks.layers.factories"] = factories
+        _sys.modules["monai.utils"].ensure_tuple_rep = ensure_tuple_rep
+        monai.utils.ensure_tuple_rep = ensure_tuple_rep
+
+        # diffusion_model_unet.py and autoencoderkl.py are self-contained
+        # (no generative.* imports), so load them by file path — the
+        # package __init__ would drag in patchgan/spade/vqvae, which need
+        # the full ADN/Act factory machinery we don't stub.
+        import importlib.util
+
+        def _load(fname):
+            path = f"{REFERENCE_PATH}/generative/networks/nets/{fname}.py"
+            spec = importlib.util.spec_from_file_location(f"_ref_{fname}", path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            return mod
+
+        ns = types.SimpleNamespace()
+        ns.DiffusionModelUNet = _load("diffusion_model_unet").DiffusionModelUNet
+        ns.AutoencoderKL = _load("autoencoderkl").AutoencoderKL
+        return ns
+    except Exception:
+        return None
