@@ -170,7 +170,16 @@ class SpatialTransformer(nn.Module):
 
 
 class AttentionBlock(nn.Module):
-    """Spatial self-attention block: GroupNorm -> qkv attention -> residual."""
+    """Spatial self-attention block: GroupNorm -> qkv attention -> residual.
+
+    Reference-parity quirk: the reference defines a `proj_attn` output
+    projection but never applies it in forward
+    (diffusion_model_unet.py:419-460, autoencoderkl.py:268-312) — trained
+    zoo checkpoints bake in that behavior, so the default here mirrors it
+    (no output projection, and no dead parameter either).
+    `apply_final_proj=True` opts into the corrected block with a real
+    output projection (not loadable from reference checkpoints).
+    """
 
     spatial_dims: int
     num_channels: int
@@ -178,6 +187,7 @@ class AttentionBlock(nn.Module):
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
     use_flash_attention: bool | None = None
+    apply_final_proj: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -207,6 +217,7 @@ class AttentionBlock(nn.Module):
             scale=1.0 / ((self.num_channels / num_heads) ** 0.5),
             use_flash=self.use_flash_attention,
         )
-        out = nn.Dense(self.num_channels, dtype=self.dtype, name="proj_attn")(out)
+        if self.apply_final_proj:
+            out = nn.Dense(self.num_channels, dtype=self.dtype, name="proj_attn")(out)
         out = out.reshape(batch, *spatial_shape, self.num_channels)
         return out + x

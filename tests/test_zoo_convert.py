@@ -1,0 +1,405 @@
+"""Golden forward-parity tests: torch reference nets vs converted flax nets.
+
+Each test builds the reference net (generative/networks/nets/*) at a tiny
+config, randomises its weights, converts the state_dict with
+`generativemodels_tpu.networks.zoo_convert`, and asserts the flax forward
+reproduces the torch forward on identical inputs. A successful conversion
+additionally proves state_dict KEY parity (convert_state_dict errors on
+any missing or unconsumed torch parameter).
+
+Reference forwards run on torch CPU; flax runs on the CPU backend
+(conftest forces jax_platforms=cpu), where convs/matmuls are bit-stable —
+observed diffs are <1e-5; tolerances leave headroom for BLAS variation.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from generativemodels_tpu.networks import zoo_convert as zc  # noqa: E402
+from generativemodels_tpu.networks.nets.autoencoderkl import AutoencoderKL  # noqa: E402
+from generativemodels_tpu.networks.nets.controlnet import ControlNet  # noqa: E402
+from generativemodels_tpu.networks.nets.diffusion_model_unet import (  # noqa: E402
+    DiffusionModelUNet,
+)
+from generativemodels_tpu.networks.nets.transformer import (  # noqa: E402
+    DecoderOnlyTransformer,
+)
+from generativemodels_tpu.networks.nets.vqvae import VQVAE  # noqa: E402
+
+from .ref_loader import load_reference_nets
+
+ref_nets = load_reference_nets()
+
+pytestmark = pytest.mark.skipif(
+    ref_nets is None, reason="torch reference could not be imported"
+)
+
+RTOL = 1e-4
+ATOL = 1e-4
+
+
+def randomize(module, seed=0, scale=0.2):
+    """Fill every torch parameter with seeded gaussian noise (zero-init convs
+    included, so the whole graph contributes to the output)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * scale)
+
+
+def assert_close(flax_out, torch_out, name=""):
+    a = np.asarray(flax_out)
+    b = torch_out.detach().cpu().numpy()
+    np.testing.assert_allclose(a, b, rtol=RTOL, atol=ATOL, err_msg=name)
+
+
+class TestDiffusionModelUNetParity:
+    def _run(self, cfg, spatial=16, ctx_dim=None, class_labels=None):
+        ref = ref_nets.DiffusionModelUNet(**cfg)
+        ref.eval()
+        randomize(ref)
+        model = DiffusionModelUNet(**cfg)
+
+        sp = (spatial,) * cfg["spatial_dims"]
+        rs = np.random.RandomState(1)
+        x = rs.randn(2, cfg["in_channels"], *sp).astype(np.float32)
+        t = np.array([3, 7])
+        flax_args = [jnp.asarray(x), jnp.asarray(t)]
+        torch_args = [torch.from_numpy(x), torch.from_numpy(t)]
+        init_args = [jnp.zeros_like(jnp.asarray(x)), jnp.zeros((2,), jnp.int32)]
+        if ctx_dim is not None:
+            ctx = rs.randn(2, 5, ctx_dim).astype(np.float32)
+            flax_args.append(jnp.asarray(ctx))
+            torch_args.append(torch.from_numpy(ctx))
+            init_args.append(jnp.zeros((2, 5, ctx_dim)))
+        if class_labels is not None:
+            while len(flax_args) < 3:
+                flax_args.append(None)
+                torch_args.append(None)
+                init_args.append(None)
+            lab = np.asarray(class_labels)
+            flax_args.append(jnp.asarray(lab))
+            torch_args.append(torch.from_numpy(lab))
+            init_args.append(jnp.zeros_like(jnp.asarray(lab)))
+
+        struct = zc.params_structure(model, *init_args)
+        params = zc.convert_diffusion_model_unet(ref.state_dict(), struct)
+        out_flax = model.apply({"params": params}, *flax_args)
+        with torch.no_grad():
+            out_ref = ref(*torch_args)
+        assert_close(out_flax, out_ref)
+
+    def test_2d_cross_attention(self):
+        self._run(
+            dict(
+                spatial_dims=2,
+                in_channels=1,
+                out_channels=1,
+                num_res_blocks=(1, 1),
+                num_channels=(8, 8),
+                attention_levels=(False, True),
+                norm_num_groups=8,
+                num_head_channels=4,
+                with_conditioning=True,
+                cross_attention_dim=3,
+                transformer_num_layers=1,
+            ),
+            ctx_dim=3,
+        )
+
+    def test_2d_self_attention_resblock_updown_class_embeds(self):
+        self._run(
+            dict(
+                spatial_dims=2,
+                in_channels=1,
+                out_channels=1,
+                num_res_blocks=(1, 2),
+                num_channels=(8, 8),
+                attention_levels=(False, True),
+                norm_num_groups=8,
+                num_head_channels=4,
+                resblock_updown=True,
+                num_class_embeds=3,
+            ),
+            class_labels=np.array([0, 2]),
+        )
+
+    @pytest.mark.slow
+    def test_3d_self_attention(self):
+        self._run(
+            dict(
+                spatial_dims=3,
+                in_channels=1,
+                out_channels=1,
+                num_res_blocks=(1, 1),
+                num_channels=(8, 8),
+                attention_levels=(False, True),
+                norm_num_groups=8,
+                num_head_channels=4,
+            ),
+            spatial=8,
+        )
+
+
+class TestAutoencoderKLParity:
+    def _run(self, cfg, spatial=16):
+        ref = ref_nets.AutoencoderKL(**cfg)
+        ref.eval()
+        randomize(ref)
+        model = AutoencoderKL(**cfg)
+
+        sp = (spatial,) * cfg["spatial_dims"]
+        rs = np.random.RandomState(2)
+        x = rs.randn(2, cfg["in_channels"], *sp).astype(np.float32)
+
+        rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}
+        struct = zc.params_structure(model, jnp.asarray(x), rngs=rngs)
+        params = zc.convert_autoencoderkl(
+            ref.state_dict(),
+            struct,
+            num_channels=cfg["num_channels"],
+            num_res_blocks=cfg["num_res_blocks"],
+            attention_levels=cfg["attention_levels"],
+            with_encoder_nonlocal_attn=cfg.get("with_encoder_nonlocal_attn", True),
+            with_decoder_nonlocal_attn=cfg.get("with_decoder_nonlocal_attn", True),
+            use_convtranspose=cfg.get("use_convtranspose", False),
+        )
+
+        z_mu_f, z_sigma_f = model.apply(
+            {"params": params}, jnp.asarray(x), method=AutoencoderKL.encode
+        )
+        with torch.no_grad():
+            z_mu_t, z_sigma_t = ref.encode(torch.from_numpy(x))
+        assert_close(z_mu_f, z_mu_t, "z_mu")
+        assert_close(z_sigma_f, z_sigma_t, "z_sigma")
+
+        recon_f = model.apply(
+            {"params": params}, z_mu_f, method=AutoencoderKL.decode
+        )
+        with torch.no_grad():
+            recon_t = ref.decode(z_mu_t)
+        assert_close(recon_f, recon_t, "decode")
+
+    def test_2d(self):
+        self._run(
+            dict(
+                spatial_dims=2,
+                in_channels=1,
+                out_channels=1,
+                num_res_blocks=(1, 1),
+                num_channels=(8, 8),
+                attention_levels=(False, True),
+                latent_channels=3,
+                norm_num_groups=8,
+            )
+        )
+
+    def test_2d_convtranspose_no_nonlocal_attn(self):
+        self._run(
+            dict(
+                spatial_dims=2,
+                in_channels=1,
+                out_channels=1,
+                num_res_blocks=(1, 1),
+                num_channels=(8, 8),
+                attention_levels=(False, False),
+                latent_channels=3,
+                norm_num_groups=8,
+                with_encoder_nonlocal_attn=False,
+                with_decoder_nonlocal_attn=False,
+                use_convtranspose=True,
+            )
+        )
+
+    @pytest.mark.slow
+    def test_3d(self):
+        self._run(
+            dict(
+                spatial_dims=3,
+                in_channels=1,
+                out_channels=1,
+                num_res_blocks=(1, 1),
+                num_channels=(8, 8),
+                attention_levels=(False, True),
+                latent_channels=3,
+                norm_num_groups=8,
+            ),
+            spatial=8,
+        )
+
+
+class TestVQVAEParity:
+    def test_2d_forward(self):
+        cfg = dict(
+            spatial_dims=2,
+            in_channels=1,
+            out_channels=1,
+            num_channels=(8, 8),
+            num_res_layers=1,
+            num_res_channels=(8, 8),
+            downsample_parameters=((2, 4, 1, 1), (2, 4, 1, 1)),
+            upsample_parameters=((2, 4, 1, 1, 0), (2, 4, 1, 1, 0)),
+            num_embeddings=16,
+            embedding_dim=4,
+        )
+        ref = ref_nets.VQVAE(**cfg)
+        ref.eval()
+        randomize(ref)
+        model = VQVAE(**cfg)
+
+        rs = np.random.RandomState(3)
+        x = rs.randn(2, 1, 16, 16).astype(np.float32)
+
+        struct = zc.params_structure(model, jnp.zeros_like(jnp.asarray(x)))
+        params, codebook = zc.convert_vqvae(
+            ref.state_dict(), struct, num_channels=cfg["num_channels"],
+            num_res_layers=cfg["num_res_layers"],
+        )
+        (recon_f, qloss_f), _ = model.apply(
+            {"params": params, "codebook": codebook},
+            jnp.asarray(x),
+            train=False,
+            mutable=["metrics", "codebook"],
+        )
+        with torch.no_grad():
+            recon_t, qloss_t = ref(torch.from_numpy(x))
+        assert_close(recon_f, recon_t, "reconstruction")
+        np.testing.assert_allclose(
+            float(qloss_f), float(qloss_t), rtol=1e-4, err_msg="quantization loss"
+        )
+
+        # index_quantize must agree exactly (integer codebook assignment)
+        idx_f = model.apply(
+            {"params": params, "codebook": codebook},
+            jnp.asarray(x),
+            method=VQVAE.index_quantize,
+        )
+        with torch.no_grad():
+            idx_t = ref.index_quantize(torch.from_numpy(x))
+        np.testing.assert_array_equal(np.asarray(idx_f), idx_t.numpy())
+
+
+class TestTransformerParity:
+    def test_cross_attention_logits(self):
+        cfg = dict(
+            num_tokens=17,
+            max_seq_len=12,
+            attn_layers_dim=8,
+            attn_layers_depth=2,
+            attn_layers_heads=2,
+            with_cross_attention=True,
+        )
+        ref = ref_nets.DecoderOnlyTransformer(**cfg)
+        ref.eval()
+        randomize(ref)
+        model = DecoderOnlyTransformer(**cfg)
+
+        rs = np.random.RandomState(4)
+        tok = rs.randint(0, 17, size=(2, 12)).astype(np.int32)
+        ctx = rs.randn(2, 3, 8).astype(np.float32)
+
+        struct = zc.params_structure(
+            model, jnp.asarray(tok), jnp.asarray(ctx)
+        )
+        params = zc.convert_transformer(ref.state_dict(), struct)
+        out_f = model.apply({"params": params}, jnp.asarray(tok), jnp.asarray(ctx))
+        with torch.no_grad():
+            out_t = ref(torch.from_numpy(tok).long(), torch.from_numpy(ctx))
+        assert_close(out_f, out_t)
+
+
+class TestControlNetParity:
+    def test_2d_residuals(self):
+        cfg = dict(
+            spatial_dims=2,
+            in_channels=1,
+            num_res_blocks=(1, 1),
+            num_channels=(8, 8),
+            attention_levels=(False, True),
+            norm_num_groups=8,
+            num_head_channels=4,
+            conditioning_embedding_num_channels=(8,),
+        )
+        ref = ref_nets.ControlNet(**cfg)
+        ref.eval()
+        randomize(ref)
+        model = ControlNet(**cfg)
+
+        rs = np.random.RandomState(5)
+        x = rs.randn(2, 1, 16, 16).astype(np.float32)
+        t = np.array([3, 7])
+        cond = rs.randn(2, 1, 16, 16).astype(np.float32)
+
+        struct = zc.params_structure(
+            model,
+            jnp.zeros_like(jnp.asarray(x)),
+            jnp.zeros((2,), jnp.int32),
+            jnp.zeros_like(jnp.asarray(cond)),
+        )
+        params = zc.convert_controlnet(ref.state_dict(), struct)
+        down_f, mid_f = model.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(cond)
+        )
+        with torch.no_grad():
+            down_t, mid_t = ref(
+                torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cond)
+            )
+        assert len(down_f) == len(down_t)
+        for i, (a, b) in enumerate(zip(down_f, down_t)):
+            assert_close(a, b, f"down residual {i}")
+        assert_close(mid_f, mid_t, "mid residual")
+
+
+class TestKeyParity:
+    """Converting consumes EVERY torch parameter — the state_dict key-parity
+    guarantee the MONAI stub in ref_loader exists to provide."""
+
+    def test_unet_keys_fully_consumed(self):
+        cfg = dict(
+            spatial_dims=2,
+            in_channels=1,
+            out_channels=1,
+            num_res_blocks=(1, 1),
+            num_channels=(8, 8),
+            attention_levels=(False, True),
+            norm_num_groups=8,
+            num_head_channels=4,
+        )
+        ref = ref_nets.DiffusionModelUNet(**cfg)
+        model = DiffusionModelUNet(**cfg)
+        struct = zc.params_structure(
+            model, jnp.zeros((1, 1, 16, 16)), jnp.zeros((1,), jnp.int32)
+        )
+        # no KeyError / unconsumed-key ValueError = key parity
+        zc.convert_diffusion_model_unet(ref.state_dict(), struct)
+
+    def test_corrupted_checkpoint_raises(self):
+        cfg = dict(
+            spatial_dims=2,
+            in_channels=1,
+            out_channels=1,
+            num_res_blocks=(1, 1),
+            num_channels=(8, 8),
+            attention_levels=(False, False),
+            norm_num_groups=8,
+            num_head_channels=4,
+        )
+        ref = ref_nets.DiffusionModelUNet(**cfg)
+        model = DiffusionModelUNet(**cfg)
+        struct = zc.params_structure(
+            model, jnp.zeros((1, 1, 16, 16)), jnp.zeros((1,), jnp.int32)
+        )
+        sd = dict(ref.state_dict())
+        sd["bogus.extra.weight"] = torch.zeros(3)
+        with pytest.raises(ValueError, match="unconsumed"):
+            zc.convert_diffusion_model_unet(sd, struct)
+        sd = dict(ref.state_dict())
+        del sd["conv_in.conv.weight"]
+        with pytest.raises(KeyError):
+            zc.convert_diffusion_model_unet(sd, struct)
