@@ -42,6 +42,7 @@ __all__ = [
     "convert_vqvae",
     "convert_controlnet",
     "convert_transformer",
+    "load_reference_checkpoint",
 ]
 
 
@@ -465,3 +466,129 @@ def convert_transformer(state_dict: dict, params_struct: dict) -> dict:
         return ".".join(parts)
 
     return convert_state_dict(state_dict, translate, params_struct)
+
+
+# ---------------------------------------------------------------------------
+# one-call checkpoint loading (bundle integration)
+# ---------------------------------------------------------------------------
+
+def _load_torch_state_dict(path: str) -> dict:
+    """Load a torch .pt/.pth checkpoint (or numpy .npz) into a flat dict,
+    unwrapping {"state_dict": ...} containers and DDP "module." prefixes."""
+    if str(path).endswith(".npz"):
+        with np.load(path) as f:
+            obj = {k: f[k] for k in f.files}
+    else:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj and isinstance(obj["state_dict"], dict):
+        obj = obj["state_dict"]
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in obj.items()
+    }
+
+
+def _default_example_args(model):
+    """Minimal valid example inputs for `model.init` shape inference."""
+    import jax.numpy as jnp
+
+    name = type(model).__name__
+    if name in ("DiffusionModelUNet", "DiffusionModelEncoder", "ControlNet"):
+        n_levels = len(tuple(model.num_channels))
+        size = 2 ** max(n_levels, 2)
+        sp = (size,) * model.spatial_dims
+        x = jnp.zeros((1, model.in_channels, *sp))
+        t = jnp.zeros((1,), jnp.int32)
+        args = [x, t]
+        if name == "ControlNet":
+            args.append(jnp.zeros((1, model.conditioning_embedding_in_channels, *sp)))
+        if getattr(model, "with_conditioning", False):
+            args.append(jnp.zeros((1, 4, model.cross_attention_dim)))
+        if getattr(model, "num_class_embeds", None):
+            while len(args) < (4 if name == "ControlNet" else 3):
+                args.append(None)
+            args.append(jnp.zeros((1,), jnp.int32))
+        return tuple(args), {}
+    if name in ("AutoencoderKL", "VQVAE"):
+        n_levels = len(tuple(model.num_channels))
+        size = 2 ** max(n_levels + 1, 3)
+        sp = (size,) * model.spatial_dims
+        return (jnp.zeros((1, model.in_channels, *sp)),), {}
+    if name == "DecoderOnlyTransformer":
+        args = [jnp.zeros((1, model.max_seq_len), jnp.int32)]
+        if model.with_cross_attention:
+            args.append(jnp.zeros((1, 4, model.attn_layers_dim)))
+        return tuple(args), {}
+    raise NotImplementedError(f"no converter wired for {name}")
+
+
+def load_reference_checkpoint(checkpoint, model, example_args=None):
+    """Reference torch checkpoint -> flax variables for a TPU-native model.
+
+    The bundle-compat path: instantiate the model from an unmodified
+    reference bundle config (config/bundle_compat.py), then load the
+    bundle's published torch checkpoint
+    (e.g. model-zoo/models/brain_image_synthesis_latent_diffusion_model/
+    large_files.yml weights) directly::
+
+        unet = parser.resolve("network_def")
+        variables = load_reference_checkpoint("models/model.pt", unet)
+        out = unet.apply(variables, x, t)
+
+    Args:
+        checkpoint: path to a .pt/.pth/.npz file, or an in-memory
+            state_dict.
+        model: the flax module instance the weights target.
+        example_args: optional explicit example inputs for shape
+            inference (auto-derived from the model config if omitted).
+
+    Returns:
+        flax variables dict: {"params": ...} (+ {"codebook": ...} for
+        VQVAE).
+    """
+    import jax as _jax
+
+    sd = (
+        checkpoint
+        if isinstance(checkpoint, dict)
+        else _load_torch_state_dict(checkpoint)
+    )
+    name = type(model).__name__
+    if example_args is None:
+        args, kwargs = _default_example_args(model)
+    else:
+        args, kwargs = tuple(example_args), {}
+    rngs = {"params": _jax.random.PRNGKey(0), "sampling": _jax.random.PRNGKey(0)}
+    struct = params_structure(model, *args, rngs=rngs, **kwargs)
+
+    if name in ("DiffusionModelUNet", "DiffusionModelEncoder"):
+        return {"params": convert_diffusion_model_unet(sd, struct)}
+    if name == "ControlNet":
+        return {"params": convert_controlnet(sd, struct)}
+    if name == "AutoencoderKL":
+        num_channels = tuple(model.num_channels)
+        return {
+            "params": convert_autoencoderkl(
+                sd,
+                struct,
+                num_channels=num_channels,
+                num_res_blocks=model.num_res_blocks,
+                attention_levels=tuple(model.attention_levels),
+                with_encoder_nonlocal_attn=model.with_encoder_nonlocal_attn,
+                with_decoder_nonlocal_attn=model.with_decoder_nonlocal_attn,
+                use_convtranspose=model.use_convtranspose,
+            )
+        }
+    if name == "VQVAE":
+        params, codebook = convert_vqvae(
+            sd,
+            struct,
+            num_channels=tuple(model.num_channels),
+            num_res_layers=model.num_res_layers,
+        )
+        return {"params": params, "codebook": codebook}
+    if name == "DecoderOnlyTransformer":
+        return {"params": convert_transformer(sd, struct)}
+    raise NotImplementedError(f"no converter wired for {name}")
