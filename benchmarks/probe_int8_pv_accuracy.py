@@ -49,10 +49,14 @@ def run(sigma: float, rng) -> dict:
     p = softmax(s)
     out = p @ v  # f32 exact
 
-    # today's kernel: bf16 operands, f32 accumulate
+    # today's kernel: bf16 operands, f32 accumulate. Round-to-nearest-even
+    # via ml_dtypes matches the TPU's rounding mode exactly (a plain
+    # (x+0x8000)&0xFFFF0000 truncation is round-half-up and slightly
+    # biases the baseline error floor).
     def to_bf16(x):
-        x32 = np.asarray(x, np.float32).view(np.uint32)
-        return ((x32 + 0x8000) & 0xFFFF0000).view(np.float32)
+        import ml_dtypes
+
+        return np.asarray(x, np.float32).astype(ml_dtypes.bfloat16).astype(np.float32)
 
     out_bf16 = to_bf16(p) @ to_bf16(v)
 

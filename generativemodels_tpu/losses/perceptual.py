@@ -152,6 +152,12 @@ class PerceptualLoss:
         lin_path: lpips `lin` head checkpoint for the learned per-layer
             channel weights (LPIPS backends only).
         key: PRNG key for backbone init when no params are given.
+        pretrained: reference-API compatibility flag. True (the reference
+            default, where it triggers a download) with NO weights supplied
+            emits a loud UserWarning because the backbone then runs
+            random-init; False or "allow_random" acknowledges random init
+            silently. Actual weights always come from
+            params/batch_stats/lin_weights or pretrained_path.
     """
 
     def __init__(
@@ -179,6 +185,33 @@ class PerceptualLoss:
         self.spatial_dims = spatial_dims
         self.is_fake_3d = is_fake_3d
         self.fake_3d_ratio = fake_3d_ratio
+
+        # Reference parity footgun (generative/losses/perceptual.py:90,167):
+        # there `pretrained=True` *downloads* real LPIPS / torch.hub weights.
+        # This image has no egress, so with no weights supplied the backbone
+        # is RANDOM-INIT — silently accepting that would let a 1:1 port
+        # train against meaningless features. Warn loudly (or pass
+        # pretrained=False / pretrained="allow_random" to acknowledge).
+        if (
+            pretrained is True
+            and pretrained_path is None
+            and params is None
+            and lin_weights is None
+        ):
+            import warnings
+
+            warnings.warn(
+                "PerceptualLoss(pretrained=True) has no weights to load: no "
+                "pretrained_path/params/lin_weights were supplied and this "
+                "environment cannot download them. The backbone will run "
+                "with RANDOM weights — the loss is NOT a perceptual metric. "
+                "Pass pretrained_path=<converted torch checkpoint> (see "
+                "networks.pretrained.load_pretrained_perceptual), or set "
+                "pretrained=False (or pretrained='allow_random') to "
+                "acknowledge random init.",
+                UserWarning,
+                stacklevel=2,
+            )
 
         if pretrained_path is not None:
             from ..networks.pretrained import load_pretrained_perceptual

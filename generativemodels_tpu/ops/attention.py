@@ -96,6 +96,7 @@ def dot_product_attention(
     upcast: bool = False,
     use_flash: bool | None = None,
     mask: jnp.ndarray | None = None,
+    seq_shard: bool | None = None,
 ) -> jnp.ndarray:
     """Multi-head attention over packed (B, S, H*D) tensors.
 
@@ -115,6 +116,11 @@ def dot_product_attention(
             None auto-selects (TPU and long sequences).
         mask: optional boolean key mask, broadcastable to (B, Sq, Sk)
             (True = attend). Forces the einsum path (KV-cache decoding).
+        seq_shard: None (default) consults the active `sequence_sharding`
+            context (ops/sharded_attention.py) and routes eligible
+            self-attention calls (Sq == Sk, no mask, not causal, S
+            divisible by the axis) through sequence-parallel shard_map;
+            False disables (used internally to avoid recursion).
 
     Returns:
         (B, Sq, inner_dim) in q.dtype.
@@ -124,6 +130,16 @@ def dot_product_attention(
     head_dim = inner // num_heads
     if scale is None:
         scale = 1.0 / (head_dim**0.5)
+
+    if seq_shard is not False and mask is None and not causal and sq == sk:
+        from .sharded_attention import current_sequence_sharding, sequence_parallel_attention
+
+        cfg = current_sequence_sharding()
+        if cfg is not None and sq % cfg.mesh.shape[cfg.axis] == 0:
+            return sequence_parallel_attention(
+                q, k, v, num_heads, cfg, scale=scale, upcast=upcast,
+                use_flash=use_flash,
+            )
 
     use_flash = resolve_use_flash(sq, head_dim, use_flash, has_mask=mask is not None)
 

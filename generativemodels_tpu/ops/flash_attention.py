@@ -639,3 +639,48 @@ def flash_attention(
     if not no_max or block_q % ilv_q or block_k % ilv_k:
         ilv_q = ilv_k = 1  # interleave is only derived for additive (no_max) tiles
     return _flash(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, ilv_q, ilv_k)
+
+
+def flash_attention_with_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 1024,
+    interpret: bool = False,
+    upcast: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward-only flash attention returning (out, lse).
+
+    For ring/sequence-parallel attention (ops/sharded_attention.py): each
+    K/V chunk's normalized output combines across chunks via
+    out = sum_i exp(lse_i - lse_tot) * out_i. `lse` is returned in the
+    NATURAL-log domain regardless of the kernel's internal log2 mode
+    (the kernel prescales q by scale*log2e and tracks log2(l); the ln2
+    conversion restores logsumexp(scale * q k^T) exactly up to fp).
+
+    Not differentiable (bypasses the custom-VJP wrapper); the sharded
+    dispatcher keeps training on the all-gather-K/V path.
+
+    Returns:
+        out: (BH, Sq, D) chunk-softmax-normalized output in q.dtype.
+        lse: (BH, Sq) f32 natural-log row logsumexp.
+    """
+    sq, sk = q.shape[1], k.shape[1]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    exp2 = not upcast
+    if exp2:
+        q = q * jnp.asarray(scale * LOG2E, q.dtype)
+        scale = 1.0
+    no_max = exp2 and os.environ.get("GMTPU_FLASH_NOMAX", "1") == "1"
+    out, (_, _, _, _, lse) = _flash_fwd_impl(
+        q, k, v, scale, False, block_q, block_k, interpret, upcast, exp2,
+        no_max, 1, 1,
+    )
+    lse = lse[:, 0, : out.shape[1]]
+    if exp2:
+        lse = lse * jnp.float32(LN2)
+    return out, lse

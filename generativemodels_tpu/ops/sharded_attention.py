@@ -1,0 +1,219 @@
+"""Sequence-parallel (sharded) attention over a mesh axis.
+
+The 3D-volumes-as-long-context problem (SURVEY §5): a 128³ volume's
+attention levels flatten to 32k+ sequences — the single largest cost of
+3D sampling (47% of device time, benchmarks/results_3d_hlo_profile.json).
+Under the "space"-sharded 3D path the inputs arrive sequence-sharded, but
+GSPMD cannot partition the opaque Pallas flash custom call: left alone it
+all-gathers Q, K AND V to every chip and runs the full computation
+replicated. The reference has no distributed attention at all (its
+xformers path, generative/networks/blocks/selfattention.py:113-124, is
+single-GPU); this module is the beyond-reference analogue.
+
+Design: `shard_map` over the mesh with Q kept local (S/n rows per chip)
+and K/V communicated. Two implementations:
+
+- "allgather" (default): one fused all-gather of K and V along the
+  sequence axis, then the local flash kernel at (S/n x S). Per chip this
+  moves (n-1)/n * 2*S*d*bh bytes — identical total traffic to a ring —
+  as ONE fused ICI collective, keeps the kernel a single big call, and
+  is fully differentiable (the all-gather transposes to a
+  reduce-scatter for dK/dV under AD). The right choice at 2-8 chips,
+  where full K/V fits HBM with ease (32k x 64 x bh=8 bf16 = 64 MB).
+- "ring": n-1 `lax.ppermute` hops, each overlapped with the flash
+  kernel on the resident chunk; chunk outputs combine exactly via
+  logsumexp stats (flash_attention_with_lse). Same bytes, lower peak
+  memory (K/V never materialize fully), pays n kernel dispatches.
+  Forward-only on the flash path (the stats wrapper bypasses the
+  custom VJP); differentiable on the einsum path. For meshes where
+  full K/V per chip is too large (>8 chips / multi-slice).
+
+Integration: `with sequence_sharding(mesh):` around the *tracing* of a
+jitted model makes every eligible `ops.dot_product_attention` call
+(self-attention: Sq == Sk, no mask, not causal, S divisible by the axis
+size) route through here. On a 1-sized axis it falls back to the plain
+path unchanged.
+"""
+from __future__ import annotations
+
+from contextlib import contextmanager
+from contextvars import ContextVar
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = [
+    "sequence_sharding",
+    "current_sequence_sharding",
+    "sequence_parallel_attention",
+]
+
+
+@dataclass(frozen=True)
+class SequenceShardingConfig:
+    mesh: Mesh
+    axis: str = "space"
+    batch_axis: str = "data"
+    impl: str = "allgather"  # or "ring"
+
+
+_CTX: ContextVar[SequenceShardingConfig | None] = ContextVar(
+    "gmtpu_sequence_sharding", default=None
+)
+
+
+@contextmanager
+def sequence_sharding(
+    mesh: Mesh,
+    axis: str = "space",
+    batch_axis: str = "data",
+    impl: str = "allgather",
+):
+    """Route eligible attention calls through sequence-parallel shard_map.
+
+    Must wrap the TRACE of the jitted function (define or first-call the
+    jit inside this context); a function already traced without the
+    context will not retrace.
+    """
+    if impl not in ("allgather", "ring"):
+        raise ValueError(f"impl must be 'allgather' or 'ring', got {impl!r}")
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
+    token = _CTX.set(SequenceShardingConfig(mesh, axis, batch_axis, impl))
+    try:
+        yield
+    finally:
+        _CTX.reset(token)
+
+
+def current_sequence_sharding() -> SequenceShardingConfig | None:
+    return _CTX.get()
+
+
+def _combine_chunks(acc_out, acc_lse, out, lse):
+    """Merge a new chunk's (normalized out, lse) into the running pair."""
+    new_lse = jnp.logaddexp(acc_lse, lse)
+    w_acc = jnp.exp(acc_lse - new_lse)[..., None]
+    w_new = jnp.exp(lse - new_lse)[..., None]
+    return acc_out * w_acc + out.astype(acc_out.dtype) * w_new, new_lse
+
+
+def _chunk_attention_with_lse(q, k, v, num_heads, scale, upcast, use_flash):
+    """Local (out, lse) for one K/V chunk; flash on TPU, einsum elsewhere.
+
+    q: (B, Sq, H*D); k/v: (B, Sc, H*D). Returns out (B, Sq, H, D) and lse
+    (B, Sq, H) in the natural-log domain, aligned for per-head chunk
+    combination.
+    """
+    from .attention import _on_tpu, _pick_blocks, resolve_use_flash
+    from .flash_attention import flash_attention_with_lse
+
+    b, sq, inner = q.shape
+    sc = k.shape[1]
+    head_dim = inner // num_heads
+    if resolve_use_flash(sq, head_dim, use_flash):
+        qf = q.reshape(b, sq, num_heads, head_dim).transpose(0, 2, 1, 3)
+        kf = k.reshape(b, sc, num_heads, head_dim).transpose(0, 2, 1, 3)
+        vf = v.reshape(b, sc, num_heads, head_dim).transpose(0, 2, 1, 3)
+        block_q, block_k, _ = _pick_blocks(sq, head_dim)
+        out, lse = flash_attention_with_lse(
+            qf.reshape(b * num_heads, sq, head_dim),
+            kf.reshape(b * num_heads, sc, head_dim),
+            vf.reshape(b * num_heads, sc, head_dim),
+            scale=scale, block_q=block_q, block_k=block_k,
+            interpret=not _on_tpu(), upcast=upcast,
+        )
+        out = out.reshape(b, num_heads, sq, head_dim).transpose(0, 2, 1, 3)
+        return out, lse.reshape(b, num_heads, sq).transpose(0, 2, 1)
+
+    qh = q.reshape(b, sq, num_heads, head_dim)
+    kh = k.reshape(b, sc, num_heads, head_dim)
+    if upcast:
+        qh = qh.astype(jnp.float32)
+        kh = kh.astype(jnp.float32)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32) * scale
+    lse = jax.scipy.special.logsumexp(scores, axis=-1)  # (B, H, Sq)
+    probs = jnp.exp(scores - lse[..., None]).astype(q.dtype)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v.reshape(b, sc, num_heads, head_dim)
+    )
+    return out, lse.transpose(0, 2, 1)
+
+
+def sequence_parallel_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    cfg: SequenceShardingConfig,
+    *,
+    scale: float,
+    upcast: bool = False,
+    use_flash: bool | None = None,
+) -> jnp.ndarray:
+    """Self-attention with Q/K/V sequence-sharded over cfg.axis.
+
+    q, k, v: (B, S, H*D) GLOBAL arrays (inside jit they may carry any
+    sharding; shard_map re-lays them out to P(batch?, axis, None)).
+    """
+    from .attention import dot_product_attention
+
+    n = cfg.mesh.shape[cfg.axis]
+    b, s, _ = q.shape
+    if n == 1:
+        return dot_product_attention(
+            q, k, v, num_heads, scale=scale, upcast=upcast,
+            use_flash=use_flash, seq_shard=False,
+        )
+
+    data = cfg.batch_axis
+    shard_b = (
+        data in cfg.mesh.axis_names
+        and cfg.mesh.shape[data] > 1
+        and b % cfg.mesh.shape[data] == 0
+    )
+    spec = P(data if shard_b else None, cfg.axis, None)
+
+    if cfg.impl == "allgather":
+
+        def local(ql, kl, vl):
+            kg = jax.lax.all_gather(kl, cfg.axis, axis=1, tiled=True)
+            vg = jax.lax.all_gather(vl, cfg.axis, axis=1, tiled=True)
+            return dot_product_attention(
+                ql, kg, vg, num_heads, scale=scale, upcast=upcast,
+                use_flash=use_flash, seq_shard=False,
+            )
+
+    else:  # ring
+
+        def local(ql, kl, vl):
+            out, lse = _chunk_attention_with_lse(
+                ql, kl, vl, num_heads, scale, upcast, use_flash
+            )
+            acc = (out.astype(jnp.float32), lse)
+            perm = [(i, (i + 1) % n) for i in range(n)]
+
+            def body(i, carry):
+                acc_out, acc_lse, kc, vc = carry
+                kc = jax.lax.ppermute(kc, cfg.axis, perm)
+                vc = jax.lax.ppermute(vc, cfg.axis, perm)
+                out_i, lse_i = _chunk_attention_with_lse(
+                    ql, kc, vc, num_heads, scale, upcast, use_flash
+                )
+                acc_out, acc_lse = _combine_chunks(acc_out, acc_lse, out_i, lse_i)
+                return acc_out, acc_lse, kc, vc
+
+            acc_out, acc_lse, _, _ = jax.lax.fori_loop(
+                0, n - 1, body, (*acc, kl, vl)
+            )
+            b_l, sq_l = ql.shape[0], ql.shape[1]
+            return acc_out.astype(ql.dtype).reshape(b_l, sq_l, -1)
+
+    fn = shard_map(
+        local, mesh=cfg.mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)

@@ -48,6 +48,17 @@ def make_feature_extractor(weights_path: str | None = None, key=None):
             _load_state_dict(weights_path), "resnet50"
         )
     else:
+        import warnings
+
+        warnings.warn(
+            "make_feature_extractor called without weights_path: the FID "
+            "trunk runs with RANDOM ResNet50 weights, so FID values are "
+            "only self-consistent within this run — not comparable to any "
+            "published number. Supply a converted torchvision resnet50 "
+            "checkpoint for real FID.",
+            UserWarning,
+            stacklevel=2,
+        )
         dummy = jnp.zeros((1, 64, 64, 3))
         variables = module.init(key or jax.random.PRNGKey(7), dummy)
         params, batch_stats = variables["params"], variables.get("batch_stats", {})

@@ -304,3 +304,87 @@ class TestGradAccumulation:
         images = jnp.zeros((8, 1, 16, 16))
         with pytest.raises(ValueError):
             step(init_train_state(params, tx), images, jax.random.PRNGKey(0))
+
+
+class TestAttentionBearingFamilies:
+    """Round-3 VERDICT item 6: the mesh must compile attention-bearing,
+    conditioned, ControlNet and get_likelihood programs — every earlier
+    family was built with attention_levels all-False."""
+
+    def test_cross_attention_conditioned_train_step(self):
+        mesh = create_mesh({"data": 2, "space": 4})
+        model = DiffusionModelUNet(
+            spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, True),
+            norm_num_groups=8, num_head_channels=8,
+            with_conditioning=True, cross_attention_dim=4,
+        )
+        images = jax.random.uniform(jax.random.PRNGKey(0), (4, 1, 16, 16))
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 4))
+        v = jax.jit(model.init)(
+            jax.random.PRNGKey(2), images, jnp.zeros((4,), jnp.int32), ctx
+        )
+        ctx_sh = shard_batch(ctx, mesh)
+        apply = lambda p, x, t: model.apply({"params": p}, x, t, context=ctx_sh)
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        tx = optax.adam(1e-4)
+        step = make_diffusion_train_step(apply, scheduler, tx, mesh=mesh,
+                                         donate=False)
+        state = init_train_state(shard_params(v["params"], mesh), tx)
+        with mesh:
+            state, loss = step(state, shard_batch(images, mesh),
+                               jax.random.PRNGKey(3))
+        assert bool(jnp.isfinite(loss))
+
+    def test_controlnet_forward_sharded(self):
+        from generativemodels_tpu.networks.nets import ControlNet
+
+        mesh = create_mesh({"data": 2, "space": 4})
+        cnet = ControlNet(
+            spatial_dims=2, in_channels=1, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, True),
+            norm_num_groups=8, num_head_channels=8,
+            conditioning_embedding_num_channels=(8,),
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(0), (4, 1, 16, 16))
+        cond = jax.random.uniform(jax.random.PRNGKey(1), (4, 1, 16, 16))
+        t = jnp.zeros((4,), jnp.int32)
+        v = jax.jit(cnet.init)(jax.random.PRNGKey(2), x, t, cond)
+        ref_down, ref_mid = cnet.apply(v, x, t, cond)
+
+        fwd = jax.jit(lambda p, x, t, c: cnet.apply(p, x, t, c))
+        with mesh:
+            down, mid = fwd(
+                jax.tree_util.tree_map(lambda a: a, v),
+                shard_batch(x, mesh), t, shard_batch(cond, mesh),
+            )
+        np.testing.assert_allclose(np.asarray(mid), np.asarray(ref_mid),
+                                   atol=1e-5)
+        for a, b in zip(down, ref_down):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_sharded_get_likelihood_matches_unsharded(self):
+        from generativemodels_tpu.inferers import DiffusionInferer
+
+        mesh = create_mesh({"data": 2, "space": 4})
+        model = DiffusionModelUNet(
+            spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, True),
+            norm_num_groups=8, num_head_channels=8,
+        )
+        images = jax.random.uniform(jax.random.PRNGKey(0), (4, 1, 16, 16))
+        v = jax.jit(model.init)(
+            jax.random.PRNGKey(1), images, jnp.zeros((4,), jnp.int32)
+        )
+        scheduler = DDPMScheduler(num_train_timesteps=5)
+        inferer = DiffusionInferer(scheduler)
+        fn = lambda x, t, context=None: model.apply(v, x, t)
+
+        ref = inferer.get_likelihood(images, fn)
+        with mesh:
+            out = jax.jit(lambda x: inferer.get_likelihood(x, fn))(
+                shard_batch(images, mesh)
+            )
+        assert out.shape == (4,)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=1e-4)
