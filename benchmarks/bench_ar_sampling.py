@@ -60,9 +60,11 @@ def build(max_seq_len: int, image_size: int = 64):
     return vqvae.bind(vq_vars), transformer.bind(tr_vars)
 
 
-def time_sample(batch: int, use_cache: bool, repeats: int = 5, grid=GRID):
+def time_sample(batch: int, use_cache, repeats: int = 5, grid=GRID,
+                max_seq_len: int | None = None):
     seq = grid[0] * grid[1]
-    max_seq_len = seq + 1 if use_cache else seq
+    if max_seq_len is None:
+        max_seq_len = seq + 1 if use_cache else seq
     vq, tr = build(max_seq_len, image_size=grid[0] * 4)
     ordering = Ordering("raster_scan", 2, (1,) + tuple(grid))
     inferer = VQVAETransformerInferer()
@@ -83,10 +85,15 @@ def time_sample(batch: int, use_cache: bool, repeats: int = 5, grid=GRID):
         times.append(time.perf_counter() - t0)
     times.sort()
     med = times[len(times) // 2]
+    if use_cache is None:
+        path = f"auto_overlength_windowed_w{min(max_seq_len, seq + 1)}"
+    else:
+        path = "kv_cache" if use_cache else "windowed_full_forward"
     return {
-        "path": "kv_cache" if use_cache else "windowed_full_forward",
+        "path": path,
         "batch": batch,
         "tokens": seq,
+        "max_seq_len": max_seq_len,
         "median_s": round(med, 4),
         "samples_per_min": round(60.0 * batch / med, 2),
         "backend": jax.devices()[0].platform,
@@ -105,6 +112,13 @@ def main():
         row = time_sample(1, use_cache, repeats=3, grid=(32, 32))
         print(row, flush=True)
         rows.append(row)
+    # over-length cliff (VERDICT r3 weak #5): total_len > max_seq_len, so
+    # resolve_use_cache MUST fall back to the windowed O(S*W) path — the
+    # cached-decode headline does not apply. 1024-token grid through a
+    # max_seq_len=256 transformer, auto dispatch.
+    row = time_sample(1, None, repeats=3, grid=(32, 32), max_seq_len=256)
+    print(row, flush=True)
+    rows.append(row)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results_ar_sampling.json")
     with open(out, "w") as f:

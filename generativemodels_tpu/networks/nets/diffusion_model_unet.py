@@ -626,7 +626,11 @@ class DiffusionModelUNet(nn.Module):
     upcast_attention: bool = False
     use_flash_attention: bool | None = None
     dropout_cattn: float = 0.0
-    use_checkpointing: bool = False
+    # bool (reference parity: remat every block) or a per-level sequence —
+    # e.g. (True, False, False) remats only the level-0 blocks (largest
+    # activations, fewest FLOPs to recompute) while the deeper levels keep
+    # their activations resident; the mid block follows the last entry.
+    use_checkpointing: bool | Sequence[bool] = False
     dtype: jnp.dtype | None = None
 
     def _config(self):
@@ -703,10 +707,26 @@ class DiffusionModelUNet(nn.Module):
         )(h)
 
         # rematerialise block activations when training 3D volumes
-        # (reference use_checkpointing, autoencoderkl.py:726-727)
-        down_cls = nn.remat(DownBlock, static_argnums=(3,)) if self.use_checkpointing else DownBlock
-        mid_cls = nn.remat(MidBlock, static_argnums=(3,)) if self.use_checkpointing else MidBlock
-        up_cls = nn.remat(UpBlock, static_argnums=(4,)) if self.use_checkpointing else UpBlock
+        # (reference use_checkpointing, autoencoderkl.py:726-727). A
+        # per-level sequence remats selectively: the profile
+        # (benchmarks/results_3d_train_hlo.json) shows ~59% of the 3D
+        # train step is 32k-seq attention custom calls, and whole-model
+        # remat re-runs each attention forward inside the backward pass —
+        # exempting the (small-activation) attention level recovers that
+        # recompute for a few hundred MB of residency.
+        ckpt = self.use_checkpointing
+        if isinstance(ckpt, bool):
+            ckpt = (ckpt,) * len(num_channels)
+        else:
+            ckpt = tuple(bool(c) for c in ckpt)
+            if len(ckpt) != len(num_channels):
+                raise ValueError(
+                    "use_checkpointing sequence must have one entry per level: "
+                    f"got {len(ckpt)} for {len(num_channels)} levels"
+                )
+        down_cls = lambda i: nn.remat(DownBlock, static_argnums=(3,)) if ckpt[i] else DownBlock
+        mid_cls = nn.remat(MidBlock, static_argnums=(3,)) if ckpt[-1] else MidBlock
+        up_cls = lambda i: nn.remat(UpBlock, static_argnums=(4,)) if ckpt[i] else UpBlock
 
         # 4. down path (skipped when cached features are supplied; module
         # names are explicit, so parameter paths stay stable either way)
@@ -720,7 +740,7 @@ class DiffusionModelUNet(nn.Module):
                 input_channel = output_channel
                 output_channel = num_channels[i]
                 is_final_block = i == len(num_channels) - 1
-                h, res_samples = down_cls(
+                h, res_samples = down_cls(i)(
                     spatial_dims=self.spatial_dims,
                     in_channels=input_channel,
                     out_channels=output_channel,
@@ -788,7 +808,7 @@ class DiffusionModelUNet(nn.Module):
             res_samples = down_block_res_samples[-n_res:]
             down_block_res_samples = down_block_res_samples[:-n_res]
 
-            h = up_cls(
+            h = up_cls(len(num_channels) - 1 - i)(
                 spatial_dims=self.spatial_dims,
                 in_channels=input_channel,
                 prev_output_channel=prev_output_channel,

@@ -68,6 +68,14 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     parser.add_argument("--no-remat", action="store_true",
                         help="disable block rematerialisation (needs more HBM)")
+    parser.add_argument("--remat-levels", type=int, nargs="+", default=None,
+                        metavar="0|1",
+                        help="per-level remat flags (one per --channels entry); "
+                        "measured on v5e 16GB at 128^3 b1: full remat 2.92 "
+                        "steps/s, '1 0 0' 3.44, no remat 3.68 (fits!) — remat "
+                        "the shallow levels first, the deep attention level "
+                        "costs the most to recompute "
+                        "(benchmarks/results_3d_remat.json)")
     parser.add_argument("--prediction-type", choices=["epsilon", "v_prediction"],
                         default="epsilon")
     parser.add_argument("--data-parallel", action="store_true")
@@ -104,7 +112,11 @@ def main(argv=None) -> None:
         num_head_channels=args.head_channels,
         norm_num_groups=args.norm_groups,
         dtype=jnp.bfloat16 if args.dtype == "bf16" else None,
-        use_checkpointing=not args.no_remat,
+        use_checkpointing=(
+            tuple(bool(r) for r in args.remat_levels)
+            if args.remat_levels is not None
+            else not args.no_remat
+        ),
     )
     scheduler = DDPMScheduler(
         num_train_timesteps=1000, prediction_type=args.prediction_type

@@ -227,3 +227,29 @@ class TestCheckpointedUNet:
         la = jax.tree_util.tree_leaves(ga)[0]
         lb = jax.tree_util.tree_leaves(gb)[0]
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-6)
+
+    def test_per_level_remat_matches_and_validates(self):
+        """use_checkpointing accepts a per-level sequence (round-4: exempt
+        the attention level from remat; benchmarks/results_3d_remat.json);
+        outputs and grads match the bool paths, wrong length raises."""
+        kwargs = dict(
+            spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
+            num_channels=(8, 8), attention_levels=(False, True),
+            norm_num_groups=8, num_head_channels=8,
+        )
+        plain = DiffusionModelUNet(**kwargs)
+        part = DiffusionModelUNet(use_checkpointing=(True, False), **kwargs)
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 1, 16, 16).astype(np.float32))
+        t = jnp.array([3, 11])
+        variables = plain.init(jax.random.PRNGKey(0), x, t)
+        np.testing.assert_allclose(
+            np.asarray(part.apply(variables, x, t)),
+            np.asarray(plain.apply(variables, x, t)), rtol=1e-5, atol=1e-6,
+        )
+        ga = jax.grad(lambda v: jnp.sum(plain.apply(v, x, t) ** 2))(variables)
+        gb = jax.grad(lambda v: jnp.sum(part.apply(v, x, t) ** 2))(variables)
+        for la, lb in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-6)
+        bad = DiffusionModelUNet(use_checkpointing=(True,), **kwargs)
+        with pytest.raises(ValueError, match="one entry per level"):
+            bad.init(jax.random.PRNGKey(0), x, t)
