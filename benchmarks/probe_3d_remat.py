@@ -40,14 +40,14 @@ from generativemodels_tpu.parallel import init_train_state, make_diffusion_train
 SIZE = 128
 
 
-def run_variant(ckpt, steps: int = 10):
+def run_variant(ckpt, steps: int = 10, batch: int = 1):
     model = DiffusionModelUNet(
         spatial_dims=3, in_channels=1, out_channels=1, num_res_blocks=1,
         num_channels=(32, 64, 128), attention_levels=(False, False, True),
         num_head_channels=64, norm_num_groups=32, dtype=jnp.bfloat16,
         use_checkpointing=ckpt,
     )
-    x = jnp.zeros((1, 1, SIZE, SIZE, SIZE))
+    x = jnp.zeros((batch, 1, SIZE, SIZE, SIZE))
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32)
     )
@@ -73,17 +73,24 @@ def run_variant(ckpt, steps: int = 10):
 
 def main() -> None:
     rows = []
-    for label, ckpt in [
-        ("TTT", True),
-        ("TTF", (True, True, False)),
-        ("TFF", (True, False, False)),
-        ("FFF", False),
+    for label, ckpt, batch in [
+        ("TTT", True, 1),
+        ("TTF", (True, True, False), 1),
+        ("TFF", (True, False, False), 1),
+        ("FFF", False, 1),
+        # round-3's "batch 1 is optimal" probe ran WITH remat; re-check the
+        # batch economics now that remat is off (bh=2 -> 4 in attention)
+        ("FFF_b2", False, 2),
+        ("TFF_b2", (True, False, False), 2),
     ]:
         try:
-            sps = run_variant(ckpt)
-            rows.append({"variant": label, "steps_per_s": round(sps, 3)})
+            sps = run_variant(ckpt, batch=batch)
+            rows.append({"variant": label, "batch": batch,
+                         "steps_per_s": round(sps, 3),
+                         "vols_per_s": round(sps * batch, 3)})
         except Exception as exc:  # OOM expected for the tail variants
-            rows.append({"variant": label, "error": str(exc)[:300]})
+            rows.append({"variant": label, "batch": batch,
+                         "error": str(exc)[:300]})
         print(rows[-1], flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

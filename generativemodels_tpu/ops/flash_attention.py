@@ -261,8 +261,61 @@ def _fwd_kernel(
             lse_ref[0, 0] = (m_ref[...] + log_fn(l_safe))[:, 0]
 
 
+def _dq_tile_ilv(q, k, v, do, lse, delta, qi, kj, acc_ref, *, scale,
+                 causal, kv_len, block_q, block_k, interior, exp2,
+                 ilv_q, ilv_k):
+    """Interleaved (no_max) dq tile: issue every chunk's TWO independent
+    MXU matmuls (s = q@k^T and dp = do@v^T) before any of the VPU
+    exp2/ds chains, so Mosaic can overlap the streams — the monolithic
+    tile's s->p->dp->ds->dq chain executes additively (probe_overlap.py,
+    same structure as the forward). Requires no_max: p is computed from
+    the clamped score directly, no cross-chunk running max."""
+    bq = q.shape[0] // ilv_q
+    bk = k.shape[0] // ilv_k
+    exp_fn = jnp.exp2 if exp2 else jnp.exp
+    chunks = []
+    for cq in range(ilv_q):
+        rows = slice(cq * bq, (cq + 1) * bq)
+        qc, doc = q[rows], do[rows]
+        for ck in range(ilv_k):
+            cols = slice(ck * bk, (ck + 1) * bk)
+            s = jax.lax.dot_general(
+                qc, k[cols], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                doc, v[cols], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            chunks.append((cq, ck, rows, s, dp))
+    for cq, ck, rows, s, dp in chunks:
+        if scale != 1.0:
+            s = s * scale
+        p = exp_fn(jnp.minimum(s, 80.0) - lse[rows])
+        mask = _build_mask(
+            qi, kj, block_q, block_k, kv_len, causal, interior=interior,
+            row0=cq * bq, col0=ck * bk, rows=bq, cols=bk,
+        )
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        ds = (p * (dp - delta[rows])).astype(k.dtype)
+        dq_part = jax.lax.dot_general(
+            ds, k[ck * bk:(ck + 1) * bk], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[rows] += scale * dq_part if scale != 1.0 else dq_part
+
+
 def _dq_tile(q, k, v, do, lse, delta, qi, kj, acc_ref, *, scale, causal,
-             kv_len, block_q, block_k, interior, exp2=False, no_max=False):
+             kv_len, block_q, block_k, interior, exp2=False, no_max=False,
+             ilv_q=1, ilv_k=1):
+    if no_max and (ilv_q > 1 or ilv_k > 1):
+        _dq_tile_ilv(
+            q, k, v, do, lse, delta, qi, kj, acc_ref, scale=scale,
+            causal=causal, kv_len=kv_len, block_q=block_q, block_k=block_k,
+            interior=interior, exp2=exp2, ilv_q=ilv_q, ilv_k=ilv_k,
+        )
+        return
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -290,7 +343,7 @@ def _dq_tile(q, k, v, do, lse, delta, qi, kj, acc_ref, *, scale, causal,
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
     *, scale, causal, kv_len, block_q, block_k, upcast=False, exp2=False,
-    no_max=False,
+    no_max=False, ilv_q=1, ilv_k=1,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -311,6 +364,7 @@ def _dq_kernel(
         _dq_tile, q, k, v, do, lse, delta, qi, kj, acc_ref,
         scale=scale, causal=causal, kv_len=kv_len,
         block_q=block_q, block_k=block_k, exp2=exp2, no_max=no_max,
+        ilv_q=ilv_q, ilv_k=ilv_k,
     )
 
     if causal:
@@ -334,9 +388,65 @@ def _dq_kernel(
         dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
 
 
+def _dkv_tile_ilv(q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref,
+                  *, scale, causal, kv_len, block_q, block_k, interior,
+                  exp2, ilv_q, ilv_k):
+    """Interleaved (no_max) dk/dv tile — see `_dq_tile_ilv`. Chunk rows
+    split the q tile, chunk cols split the k/v tile; dv/dk accumulate per
+    column chunk."""
+    bq = q.shape[0] // ilv_q
+    bk = k.shape[0] // ilv_k
+    exp_fn = jnp.exp2 if exp2 else jnp.exp
+    chunks = []
+    for cq in range(ilv_q):
+        rows = slice(cq * bq, (cq + 1) * bq)
+        qc, doc = q[rows], do[rows]
+        for ck in range(ilv_k):
+            cols = slice(ck * bk, (ck + 1) * bk)
+            s = jax.lax.dot_general(
+                qc, k[cols], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                doc, v[cols], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            chunks.append((cq, ck, rows, s, dp))
+    for cq, ck, rows, s, dp in chunks:
+        cols = slice(ck * bk, (ck + 1) * bk)
+        if scale != 1.0:
+            s = s * scale
+        p = exp_fn(jnp.minimum(s, 80.0) - lse[rows])
+        mask = _build_mask(
+            qi, kj, block_q, block_k, kv_len, causal, interior=interior,
+            row0=cq * bq, col0=ck * bk, rows=bq, cols=bk,
+        )
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        qc, doc = q[rows], do[rows]
+        dv_acc_ref[cols] += jax.lax.dot_general(
+            p.astype(doc.dtype), doc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta[rows])).astype(qc.dtype)
+        dk_part = jax.lax.dot_general(
+            ds, qc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_acc_ref[cols] += scale * dk_part if scale != 1.0 else dk_part
+
+
 def _dkv_tile(q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref, *,
               scale, causal, kv_len, block_q, block_k, interior, exp2=False,
-              no_max=False):
+              no_max=False, ilv_q=1, ilv_k=1):
+    if no_max and (ilv_q > 1 or ilv_k > 1):
+        _dkv_tile_ilv(
+            q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref,
+            scale=scale, causal=causal, kv_len=kv_len, block_q=block_q,
+            block_k=block_k, interior=interior, exp2=exp2,
+            ilv_q=ilv_q, ilv_k=ilv_k,
+        )
+        return
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -366,7 +476,7 @@ def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_acc_ref, dv_acc_ref,
     *, scale, causal, kv_len, block_q, block_k, upcast=False, exp2=False,
-    no_max=False,
+    no_max=False, ilv_q=1, ilv_k=1,
 ):
     kj = pl.program_id(1)
     qi = pl.program_id(2)
@@ -388,6 +498,7 @@ def _dkv_kernel(
         _dkv_tile, q, k, v, do, lse, delta, qi, kj, dk_acc_ref, dv_acc_ref,
         scale=scale, causal=causal, kv_len=kv_len,
         block_q=block_q, block_k=block_k, exp2=exp2, no_max=no_max,
+        ilv_q=ilv_q, ilv_k=ilv_k,
     )
 
     if causal:
@@ -414,6 +525,109 @@ def _dkv_kernel(
         # exp2 mode feeds do*ln2 into both backward kernels so ds carries
         # the d(softmax)/d(log2-score) factor; dv = p^T @ do must not, so
         # undo it once on the accumulated (block_k, d) tile.
+        dv = dv_acc_ref[...] * LOG2E if exp2 else dv_acc_ref[...]
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _dfused_tile(q, k, v, do, lse, delta, qi, kj, dqp_ref, dk_acc_ref,
+                 dv_acc_ref, *, scale, causal, kv_len, block_q, block_k,
+                 interior, exp2=False, no_max=False):
+    """One (kj, qi) tile of the FUSED backward: dv/dk accumulate in VMEM,
+    this tile's dq contribution goes straight to its own HBM slab.
+
+    Versus the split kernels this shares the s and dp recomputations
+    (2 of 7 block_q x block_k matmul passes) at the cost of writing
+    num_kj partial-dq slabs to HBM and one XLA sum afterwards.
+    """
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if scale != 1.0:
+        s = s * scale
+    if no_max:
+        s = jnp.minimum(s, 80.0)
+    p = (jnp.exp2 if exp2 else jnp.exp)(s - lse)
+    mask = _build_mask(qi, kj, block_q, block_k, kv_len, causal, interior=interior)
+    if mask is not None:
+        p = jnp.where(mask, p, 0.0)
+    pc = p.astype(do.dtype)
+    dv_acc_ref[...] += jax.lax.dot_general(
+        pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_acc_ref[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_part = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dqp_ref[0, 0] = (scale * dq_part if scale != 1.0 else dq_part).astype(
+        dqp_ref.dtype
+    )
+
+
+def _dfused_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dqp_ref, dk_ref, dv_ref,
+    dk_acc_ref, dv_acc_ref,
+    *, scale, causal, kv_len, block_q, block_k, upcast=False, exp2=False,
+    no_max=False,
+):
+    """Fused dq+dk+dv backward. Grid (bh, kj, qi), qi innermost sequential:
+    dk/dv accumulate across qi in VMEM scratch exactly like `_dkv_kernel`;
+    dq is emitted as per-(kj) PARTIAL slabs (summed over kj outside the
+    kernel), which keeps every grid step race-free without revisiting
+    output blocks."""
+    kj = pl.program_id(1)
+    qi = pl.program_id(2)
+    num_q = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
+
+    mm = _mm_dtype(q_ref.dtype, upcast)
+    q = q_ref[0].astype(mm)
+    k = k_ref[0].astype(mm)
+    v = v_ref[0].astype(mm)
+    do = do_ref[0].astype(mm)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    tile = functools.partial(
+        _dfused_tile, q, k, v, do, lse, delta, qi, kj, dqp_ref, dk_acc_ref,
+        dv_acc_ref, scale=scale, causal=causal, kv_len=kv_len,
+        block_q=block_q, block_k=block_k, exp2=exp2, no_max=no_max,
+    )
+
+    if causal:
+        first_col = kj * block_k
+        last_col = first_col + block_k - 1
+        first_row = qi * block_q
+        last_row = first_row + block_q - 1
+
+        # dead tiles (whole q tile above the diagonal band) contribute
+        # nothing to dk/dv but their dq slab must still be zeroed — every
+        # (kj, qi) slab is materialised and summed.
+        @pl.when(last_row < first_col)
+        def _():
+            dqp_ref[0, 0] = jnp.zeros_like(dqp_ref[0, 0])
+
+        @pl.when(first_row >= last_col + 1)
+        def _():
+            tile(interior=True)
+
+        @pl.when((last_row >= first_col) & (first_row < last_col + 1))
+        def _():
+            tile(interior=False)
+    else:
+        tile(interior=False)
+
+    @pl.when(qi == num_q - 1)
+    def _():
+        dk_ref[0] = dk_acc_ref[...].astype(dk_ref.dtype)
         dv = dv_acc_ref[...] * LOG2E if exp2 else dv_acc_ref[...]
         dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -488,8 +702,8 @@ def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2
 
 
 def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, ilv_q, ilv_k, res, dout):
-    # the interleave knobs shape only the forward's instruction schedule;
-    # the backward kernels are unchanged.
+    # the nondiff ilv_q/ilv_k knobs shape only the forward's instruction
+    # schedule; the backward has its own interleave knob (see below).
     q, k, v, out, lse = res
     bh, sq, d = q.shape
     sk = k.shape[1]
@@ -512,8 +726,83 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, exp2, no_max,
     common = dict(scale=scale, causal=causal, kv_len=sk, block_q=block_q,
                   block_k=block_k, upcast=upcast, exp2=exp2, no_max=no_max)
 
+    # backward-tile interleave (the forward's ilv trick applied to the
+    # split backward kernels): issue each sub-chunk's two independent MXU
+    # matmuls (s, dp) ahead of the VPU exp2/ds chains. Env-gated like the
+    # forward ilv; requires no_max (additive accumulation, no alpha).
+    raw_bilv = os.environ.get("GMTPU_FLASH_BWD_ILV", "1,1")
+    try:
+        parts = [int(p) for p in raw_bilv.split(",")]
+        bilv = (parts[0], parts[-1]) if len(parts) > 1 else (1, parts[0])
+    except ValueError:
+        bilv = (1, 1)
+    bilv_q, bilv_k = max(1, bilv[0]), max(1, bilv[1])
+    if not no_max or block_q % bilv_q or block_k % bilv_k:
+        bilv_q = bilv_k = 1
+    split_common = dict(common, ilv_q=bilv_q, ilv_k=bilv_k)
+
+    if os.environ.get("GMTPU_FLASH_FUSED_BWD", "0") == "1":
+        # The fused kernel keeps more f32 intermediates live per tile than
+        # the split kernels (s, p, dp, ds all at block_q x block_k), so the
+        # forward's dispatch-table blocks can exceed the 16 MiB scoped-VMEM
+        # stack (measured: bq1024 x bk2048 at 32k OOMs by 1.5 MiB). Cap the
+        # score tile at 1M elements (4 MiB f32), halving block_q first:
+        # num_kj = sk/block_k sets how many partial-dq f32 slabs are written
+        # to HBM and summed, so block_k is the side to keep large.
+        fb_q, fb_k = block_q, block_k
+        override = os.environ.get("GMTPU_FLASH_FUSED_BWD_BLOCKS", "")
+        if override:
+            fb_q, fb_k = (int(x) for x in override.split(","))
+        else:
+            while fb_q * fb_k > 1 << 20 and max(fb_q, fb_k) > 128:
+                if fb_q > 128:
+                    fb_q //= 2
+                else:
+                    fb_k //= 2
+        fsq_p = _round_up(sq, fb_q)
+        fsk_p = _round_up(sk, fb_k)
+        fqp = _pad_seq(q, fsq_p)
+        fdop = _pad_seq(dout, fsq_p)
+        fkp, fvp = _pad_seq(k, fsk_p), _pad_seq(v, fsk_p)
+        flse = lse if fsq_p == lse.shape[-1] else lse[:, :, :fsq_p] if fsq_p < lse.shape[-1] else jnp.pad(lse, ((0, 0), (0, 0), (0, fsq_p - lse.shape[-1])))
+        fdelta = delta if fsq_p == delta.shape[-1] else delta[:, :, :fsq_p] if fsq_p < delta.shape[-1] else jnp.pad(delta, ((0, 0), (0, 0), (0, fsq_p - delta.shape[-1])))
+        fcommon = dict(common, block_q=fb_q, block_k=fb_k)
+        num_kj = fsk_p // fb_k
+        dqp, dk, dv = pl.pallas_call(
+            functools.partial(_dfused_kernel, **fcommon),
+            grid=(bh, num_kj, fsq_p // fb_q),
+            in_specs=[
+                pl.BlockSpec((1, fb_q, d), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, fb_k, d), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, fb_k, d), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, fb_q, d), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, 1, fb_q), lambda b, j, i: (b, 0, i)),
+                pl.BlockSpec((1, 1, fb_q), lambda b, j, i: (b, 0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, fb_q, d), lambda b, j, i: (b, j, i, 0)),
+                pl.BlockSpec((1, fb_k, d), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, fb_k, d), lambda b, j, i: (b, j, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, num_kj, fsq_p, d), jnp.float32),
+                jax.ShapeDtypeStruct((bh, fsk_p, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, fsk_p, d), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((fb_k, d), jnp.float32),
+                pltpu.VMEM((fb_k, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(fqp, fkp, fvp, fdop, flse, fdelta)
+        dq = jnp.sum(dqp, axis=1).astype(q.dtype)
+        return dq[:, :sq], dk[:, :sk], dv[:, :sk]
+
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, **common),
+        functools.partial(_dq_kernel, **split_common),
         grid=(bh, sq_p // block_q, sk_p // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -533,7 +822,7 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, exp2, no_max,
     )(qp, kp, vp, dop, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, **common),
+        functools.partial(_dkv_kernel, **split_common),
         grid=(bh, sk_p // block_k, sq_p // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),

@@ -568,3 +568,184 @@ class TestFlashIlvEnv:
                 np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5,
                 err_msg=f"GMTPU_FLASH_ILV={val!r}",
             )
+
+
+class TestFlashFusedBackward:
+    """GMTPU_FLASH_FUSED_BWD=1 routes the backward through one fused
+    Pallas kernel (dq emitted as per-k-tile partial slabs, summed outside;
+    dk/dv accumulated exactly as the split kernel). Must match the split
+    backward bit-for-bit-ish in every dispatch regime."""
+
+    def _grads(self, q, k, v, scale, causal, fused, monkeypatch,
+               block_q=128, block_k=128):
+        from generativemodels_tpu.ops.flash_attention import flash_attention
+
+        monkeypatch.setenv("GMTPU_FLASH_FUSED_BWD", "1" if fused else "0")
+
+        def f(q, k, v):
+            out = flash_attention(
+                q, k, v, scale=scale, causal=causal, interpret=True,
+                block_q=block_q, block_k=block_k,
+            )
+            return jnp.sum(out ** 2)
+
+        return jax.value_and_grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_fused_matches_split_multi_ktile(self, causal, monkeypatch):
+        rng = np.random.RandomState(11)
+        # sq=256, sk=512 with 128-blocks -> 4 k-tiles, 2 q-tiles: the dq
+        # partial-slab sum and the causal dead-tile zeroing both engage
+        q = jnp.asarray(rng.standard_normal((2, 256, 64)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 256 if causal else 512, 64)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 256 if causal else 512, 64)).astype(np.float32))
+        (l0, g0) = self._grads(q, k, v, 1 / 8.0, causal, False, monkeypatch)
+        (l1, g1) = self._grads(q, k, v, 1 / 8.0, causal, True, monkeypatch)
+        np.testing.assert_allclose(float(l0[0] if isinstance(l0, tuple) else l0),
+                                   float(l1[0] if isinstance(l1, tuple) else l1),
+                                   rtol=1e-6)
+        for a, b in zip(g0[1] if isinstance(g0, tuple) and len(g0) == 2 else g0,
+                        g1[1] if isinstance(g1, tuple) and len(g1) == 2 else g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_fused_ragged_kv(self, monkeypatch):
+        rng = np.random.RandomState(12)
+        # kv_len 320 with block_k 128 -> padded final tile (mask path)
+        q = jnp.asarray(rng.standard_normal((2, 256, 64)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 320, 64)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 320, 64)).astype(np.float32))
+        _, g0 = self._grads(q, k, v, 1 / 8.0, False, False, monkeypatch)
+        _, g1 = self._grads(q, k, v, 1 / 8.0, False, True, monkeypatch)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_fused_block_cap_repad(self, monkeypatch):
+        """When the fused backward picks smaller blocks than the forward
+        (VMEM cap / GMTPU_FLASH_FUSED_BWD_BLOCKS), the q/k/v/do/lse/delta
+        operands are re-padded to the fused grid; grads must be unchanged."""
+        rng = np.random.RandomState(14)
+        q = jnp.asarray(rng.standard_normal((2, 200, 64)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 200, 64)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 200, 64)).astype(np.float32))
+        # fwd blocks 256 -> sq_p=256; fused override 128 -> fsq_p=256 via
+        # two 128-tiles and the ragged final k-tile masked
+        monkeypatch.setenv("GMTPU_FLASH_FUSED_BWD_BLOCKS", "128,128")
+        _, g1 = self._grads(q, k, v, 1 / 8.0, False, True, monkeypatch,
+                            block_q=256, block_k=256)
+        monkeypatch.delenv("GMTPU_FLASH_FUSED_BWD_BLOCKS")
+        _, g0 = self._grads(q, k, v, 1 / 8.0, False, False, monkeypatch,
+                            block_q=256, block_k=256)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_fused_matches_einsum_reference(self, monkeypatch):
+        """End-to-end: fused-backward grads vs plain XLA softmax attention."""
+        from generativemodels_tpu.ops.flash_attention import flash_attention
+
+        rng = np.random.RandomState(13)
+        q = jnp.asarray(rng.standard_normal((2, 256, 32)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 256, 32)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 256, 32)).astype(np.float32))
+        scale = 1 / np.sqrt(32)
+        monkeypatch.setenv("GMTPU_FLASH_FUSED_BWD", "1")
+
+        def f_flash(q, k, v):
+            return jnp.sum(flash_attention(
+                q, k, v, scale=scale, interpret=True, block_q=128, block_k=128
+            ) ** 2)
+
+        def f_ref(q, k, v):
+            s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+            return jnp.sum(jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(s, -1), v) ** 2)
+
+        gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        ge = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, ge):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestFlashBwdInterleave:
+    """GMTPU_FLASH_BWD_ILV splits the split-backward tiles into sub-chunks
+    (s/dp matmuls issued ahead of the VPU chains). Pure instruction-
+    scheduling change: grads must match the monolithic backward exactly
+    in every regime (causal dead/diagonal/interior tiles, ragged kv,
+    malformed knob values degrade to off)."""
+
+    def _grads(self, q, k, v, scale, causal, bilv, monkeypatch,
+               block_q=128, block_k=128):
+        from generativemodels_tpu.ops.flash_attention import flash_attention
+
+        if bilv is None:
+            monkeypatch.delenv("GMTPU_FLASH_BWD_ILV", raising=False)
+        else:
+            monkeypatch.setenv("GMTPU_FLASH_BWD_ILV", bilv)
+
+        def f(q, k, v):
+            out = flash_attention(
+                q, k, v, scale=scale, causal=causal, interpret=True,
+                block_q=block_q, block_k=block_k,
+            )
+            return jnp.sum(out ** 2)
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("bilv", ["2,2", "4", "1,2"])
+    def test_matches_monolithic(self, causal, bilv, monkeypatch):
+        rng = np.random.RandomState(21)
+        sk = 256 if causal else 384  # ragged non-causal: 384 % 128 == 0; use 320 below
+        q = jnp.asarray(rng.standard_normal((2, 256, 64)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, sk, 64)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, sk, 64)).astype(np.float32))
+        g0 = self._grads(q, k, v, 1 / 8.0, causal, None, monkeypatch)
+        g1 = self._grads(q, k, v, 1 / 8.0, causal, bilv, monkeypatch)
+        # chunked accumulation reassociates the fp sums (per-chunk dots
+        # over the same k columns); exact-bit equality is not expected.
+        # atol absorbs the causal-diagonal dp-delta cancellation: rows
+        # attending a single key have ds == 0 up to one ulp of dp, so a
+        # reassociated dot turns an exact 0 into ~1e-6.
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_ragged_kv_and_malformed(self, monkeypatch):
+        rng = np.random.RandomState(22)
+        q = jnp.asarray(rng.standard_normal((1, 256, 64)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((1, 320, 64)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((1, 320, 64)).astype(np.float32))
+        g0 = self._grads(q, k, v, 1 / 8.0, False, None, monkeypatch)
+        for val in ["2,2", "banana", "0,2", "3,3"]:  # 3 doesn't divide 128 -> off
+            g1 = self._grads(q, k, v, 1 / 8.0, False, val, monkeypatch)
+            for a, b in zip(g0, g1):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6,
+                                           err_msg=f"GMTPU_FLASH_BWD_ILV={val!r}")
+
+    def test_vs_einsum_reference(self, monkeypatch):
+        from generativemodels_tpu.ops.flash_attention import flash_attention
+
+        rng = np.random.RandomState(23)
+        q = jnp.asarray(rng.standard_normal((2, 256, 32)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 256, 32)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 256, 32)).astype(np.float32))
+        scale = 1 / np.sqrt(32)
+        monkeypatch.setenv("GMTPU_FLASH_BWD_ILV", "2,2")
+
+        def f_flash(q, k, v):
+            return jnp.sum(flash_attention(
+                q, k, v, scale=scale, interpret=True, block_q=128, block_k=128
+            ) ** 2)
+
+        def f_ref(q, k, v):
+            s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+            return jnp.sum(jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(s, -1), v) ** 2)
+
+        gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        ge = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, ge):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
