@@ -37,6 +37,7 @@ from .networks.nets import (  # noqa: E402,F401
 from .networks.schedulers import (  # noqa: E402,F401
     DDIMScheduler,
     DDPMScheduler,
+    DPMSolverMultistepScheduler,
     NoiseSchedules,
     PNDMScheduler,
     Scheduler,

@@ -19,7 +19,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from ..networks.schedulers import DDPMScheduler, PNDMScheduler
+from ..networks.schedulers import DDPMScheduler
 
 ModelFn = Callable[..., jnp.ndarray]
 
@@ -98,7 +98,9 @@ class DiffusionInferer:
             key = jax.random.PRNGKey(0)
 
         timesteps = jnp.asarray(scheduler.timesteps)
-        is_pndm = isinstance(scheduler, PNDMScheduler)
+        # stateful schedulers (PNDM, DPM-Solver++) thread an explicit state
+        # pytree through the scan: step(state, model_output, t, sample)
+        is_stateful = hasattr(scheduler, "init_state")
         is_ddpm = isinstance(scheduler, DDPMScheduler)
 
         def model_eval(image, t):
@@ -107,7 +109,7 @@ class DiffusionInferer:
             return _call_model(diffusion_model, x, tt, ctx, seg)
 
         def step(carry, t):
-            if is_pndm:
+            if is_stateful:
                 image, state, k = carry
                 model_output = model_eval(image, t)
                 image, state = scheduler.step(state, model_output, t, image)
@@ -121,7 +123,7 @@ class DiffusionInferer:
                 image, _ = scheduler.step(model_output, t, image, eta=eta, key=sub if eta > 0 else None)
             return (image, k), image
 
-        if is_pndm:
+        if is_stateful:
             init = (input_noise, scheduler.init_state(input_noise.shape, input_noise.dtype), key)
         else:
             init = (input_noise, key)

@@ -1,5 +1,6 @@
 from .ddim import DDIMPredictionType, DDIMScheduler
 from .ddpm import DDPMPredictionType, DDPMScheduler, DDPMVarianceType
+from .dpmsolver import DPMSolverMultistepScheduler, DPMSolverPredictionType, DPMSolverState
 from .pndm import PNDMPredictionType, PNDMScheduler, PNDMState
 from .scheduler import NoiseSchedules, Scheduler
 
@@ -9,6 +10,9 @@ __all__ = [
     "DDPMPredictionType",
     "DDPMScheduler",
     "DDPMVarianceType",
+    "DPMSolverMultistepScheduler",
+    "DPMSolverPredictionType",
+    "DPMSolverState",
     "PNDMPredictionType",
     "PNDMScheduler",
     "PNDMState",

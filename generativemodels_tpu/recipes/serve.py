@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from ..inferers import DiffusionInferer
 from ..networks.nets import DiffusionModelUNet
-from ..networks.schedulers import DDIMScheduler
+from ..networks.schedulers import DDIMScheduler, DPMSolverMultistepScheduler
 from ..utils import CheckpointManager, enable_persistent_compilation_cache
 from ..utils.export import load_exported, save_exported
 
@@ -52,6 +52,7 @@ def build_sampler(
     batch: int = 1,
     ddim_steps: int = 50,
     checkpoint_dir: str | None = None,
+    solver: str = "ddim",
 ):
     """Build `sample_fn(seed_scalar) -> (B, 1, *spatial) images` + metadata.
 
@@ -76,7 +77,12 @@ def build_sampler(
         params = restored["params"]
         mgr.close()
 
-    scheduler = DDIMScheduler(num_train_timesteps=1000)
+    if solver == "dpmsolver":
+        # DPM-Solver++ (2M): DDIM-50-equivalent quality at 10-20 steps —
+        # the serving-latency knob (see docs/PERFORMANCE.md "Fast solvers")
+        scheduler = DPMSolverMultistepScheduler(num_train_timesteps=1000)
+    else:
+        scheduler = DDIMScheduler(num_train_timesteps=1000)
     scheduler.set_timesteps(ddim_steps)
     inferer = DiffusionInferer(scheduler)
 
@@ -182,7 +188,12 @@ def main() -> None:
     parser.add_argument("--norm-groups", type=int, default=32)
     parser.add_argument("--batch", type=int, default=1,
                         help="compiled serving batch (requests round up)")
-    parser.add_argument("--ddim-steps", type=int, default=50)
+    parser.add_argument("--ddim-steps", type=int, default=50,
+                        help="sampling step count (any --solver)")
+    parser.add_argument("--solver", type=str, default="ddim",
+                        choices=["ddim", "dpmsolver"],
+                        help="dpmsolver = DPM-Solver++ (2M): DDIM-50 quality "
+                        "at 10-20 steps")
     parser.add_argument("--checkpoint-dir", type=str, default=None)
     parser.add_argument("--export-path", type=str, default=None,
                         help="serialise the compiled sampler here (jax.export); "
@@ -205,7 +216,7 @@ def main() -> None:
             spatial_dims=args.spatial_dims, size=args.size,
             channels=tuple(args.channels), norm_groups=args.norm_groups,
             batch=args.batch, ddim_steps=args.ddim_steps,
-            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_dir=args.checkpoint_dir, solver=args.solver,
         )
         fn = jax.jit(sample_fn)
         if args.export_path:

@@ -12,7 +12,12 @@ import jax.numpy as jnp
 
 from generativemodels_tpu.inferers import DiffusionInferer
 from generativemodels_tpu.networks.nets import DiffusionModelUNet
-from generativemodels_tpu.networks.schedulers import DDIMScheduler, DDPMScheduler, PNDMScheduler
+from generativemodels_tpu.networks.schedulers import (
+    DDIMScheduler,
+    DDPMScheduler,
+    DPMSolverMultistepScheduler,
+    PNDMScheduler,
+)
 
 
 @pytest.fixture(scope="module")
@@ -92,7 +97,10 @@ class TestTrainForward:
 
 
 class TestSample:
-    @pytest.mark.parametrize("scheduler_cls", [DDPMScheduler, DDIMScheduler, PNDMScheduler])
+    @pytest.mark.parametrize(
+        "scheduler_cls",
+        [DDPMScheduler, DDIMScheduler, PNDMScheduler, DPMSolverMultistepScheduler],
+    )
     def test_sample_shape(self, tiny_model, scheduler_cls):
         scheduler = scheduler_cls(num_train_timesteps=10)
         scheduler.set_timesteps(10)

@@ -73,6 +73,19 @@ class TestLatentDiffusionInferer:
         img = inferer.sample(noise, aekl_bound, latent_unet, key=jax.random.PRNGKey(1))
         assert img.shape == (2, 1, 16, 16)
 
+    def test_sample_with_dpmsolver(self, aekl_bound, latent_unet):
+        """The fast solver is drop-in for latent diffusion (the main
+        serving config: LDM + few-step solver)."""
+        from generativemodels_tpu.networks.schedulers import DPMSolverMultistepScheduler
+
+        scheduler = DPMSolverMultistepScheduler(num_train_timesteps=10)
+        scheduler.set_timesteps(5)
+        inferer = LatentDiffusionInferer(scheduler, scale_factor=0.5)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8))
+        img = inferer.sample(noise, aekl_bound, latent_unet, key=jax.random.PRNGKey(1))
+        assert img.shape == (2, 1, 16, 16)
+        assert bool(jnp.isfinite(img).all())
+
     def test_sample_intermediates(self, aekl_bound, latent_unet):
         scheduler = DDPMScheduler(num_train_timesteps=10)
         inferer = LatentDiffusionInferer(scheduler, scale_factor=0.5)

@@ -272,9 +272,9 @@ class TestRecipeMains:
         ])
         import json
         recs = json.load(open(out))
-        # DDPM-1000 reference + 3 schedulers at 5 steps
-        assert len(recs) == 4
-        assert {r["scheduler"] for r in recs} == {"DDPM", "DDIM", "PNDM"}
+        # DDPM-1000 reference + 4 schedulers at 5 steps
+        assert len(recs) == 5
+        assert {r["scheduler"] for r in recs} == {"DDPM", "DDIM", "PNDM", "DPM-Solver++"}
 
     def test_train_2d_ddpm_v_prediction_main(self):
         from generativemodels_tpu.recipes import train_2d_ddpm
