@@ -118,9 +118,10 @@ def dot_product_attention(
             (True = attend). Forces the einsum path (KV-cache decoding).
         seq_shard: None (default) consults the active `sequence_sharding`
             context (ops/sharded_attention.py) and routes eligible
-            self-attention calls (Sq == Sk, no mask, not causal, S
-            divisible by the axis) through sequence-parallel shard_map;
-            False disables (used internally to avoid recursion).
+            self-attention calls (Sq == Sk, no mask, S divisible by the
+            axis; causal included — the AR-transformer long-context
+            training case) through sequence-parallel shard_map; False
+            disables (used internally to avoid recursion).
 
     Returns:
         (B, Sq, inner_dim) in q.dtype.
@@ -131,14 +132,14 @@ def dot_product_attention(
     if scale is None:
         scale = 1.0 / (head_dim**0.5)
 
-    if seq_shard is not False and mask is None and not causal and sq == sk:
+    if seq_shard is not False and mask is None and sq == sk:
         from .sharded_attention import current_sequence_sharding, sequence_parallel_attention
 
         cfg = current_sequence_sharding()
         if cfg is not None and sq % cfg.mesh.shape[cfg.axis] == 0:
             return sequence_parallel_attention(
                 q, k, v, num_heads, cfg, scale=scale, upcast=upcast,
-                use_flash=use_flash,
+                use_flash=use_flash, causal=causal,
             )
 
     use_flash = resolve_use_flash(sq, head_dim, use_flash, has_mask=mask is not None)

@@ -701,6 +701,17 @@ def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2
     return _flash_fwd_impl(q, k, v, scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, ilv_q, ilv_k)
 
 
+def _pick_bwd_ilv(head_dim: int) -> tuple[int, int]:
+    """Default backward-tile interleave by head width, from the on-chip
+    sweep (benchmarks/probe_bwd_ilv.py -> results_bwd_ilv.json): (2, 2) is
+    +19.8% fwd+bwd at (bh4, seq 4k, d64) and +11.5% at the 3D train step's
+    (bh2, 32k, d64); neutral (±1.7%) at d=256. Narrow heads leave the MXU
+    half-filled per tile, so issuing both sub-chunk matmuls (s, dp) ahead
+    of the exp2/ds VPU chains overlaps the units; wide-head tiles already
+    fill both."""
+    return (2, 2) if head_dim < 128 else (1, 1)
+
+
 def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, exp2, no_max, ilv_q, ilv_k, res, dout):
     # the nondiff ilv_q/ilv_k knobs shape only the forward's instruction
     # schedule; the backward has its own interleave knob (see below).
@@ -728,14 +739,16 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, upcast, exp2, no_max,
 
     # backward-tile interleave (the forward's ilv trick applied to the
     # split backward kernels): issue each sub-chunk's two independent MXU
-    # matmuls (s, dp) ahead of the VPU exp2/ds chains. Env-gated like the
-    # forward ilv; requires no_max (additive accumulation, no alpha).
-    raw_bilv = os.environ.get("GMTPU_FLASH_BWD_ILV", "1,1")
+    # matmuls (s, dp) ahead of the VPU exp2/ds chains. Per-shape default
+    # from the on-chip sweep (_pick_bwd_ilv); GMTPU_FLASH_BWD_ILV
+    # overrides (unset/malformed falls back to the dispatch default).
+    # Requires no_max (additive accumulation, no alpha).
+    raw_bilv = os.environ.get("GMTPU_FLASH_BWD_ILV", "")
     try:
         parts = [int(p) for p in raw_bilv.split(",")]
         bilv = (parts[0], parts[-1]) if len(parts) > 1 else (1, parts[0])
     except ValueError:
-        bilv = (1, 1)
+        bilv = _pick_bwd_ilv(d)
     bilv_q, bilv_k = max(1, bilv[0]), max(1, bilv[1])
     if not no_max or block_q % bilv_q or block_k % bilv_k:
         bilv_q = bilv_k = 1

@@ -30,9 +30,10 @@ and K/V communicated. Two implementations:
 
 Integration: `with sequence_sharding(mesh):` around the *tracing* of a
 jitted model makes every eligible `ops.dot_product_attention` call
-(self-attention: Sq == Sk, no mask, not causal, S divisible by the axis
-size) route through here. On a 1-sized axis it falls back to the plain
-path unchanged.
+(self-attention: Sq == Sk, no mask, S divisible by the axis size) route
+through here, including `causal=True` (global-position masking — see
+`sequence_parallel_attention`). On a 1-sized axis it falls back to the
+plain path unchanged.
 """
 from __future__ import annotations
 
@@ -101,12 +102,15 @@ def _combine_chunks(acc_out, acc_lse, out, lse):
     return acc_out * w_acc + out.astype(acc_out.dtype) * w_new, new_lse
 
 
-def _chunk_attention_with_lse(q, k, v, num_heads, scale, upcast, use_flash):
+def _chunk_attention_with_lse(q, k, v, num_heads, scale, upcast, use_flash, mask=None):
     """Local (out, lse) for one K/V chunk; flash on TPU, einsum elsewhere.
 
     q: (B, Sq, H*D); k/v: (B, Sc, H*D). Returns out (B, Sq, H, D) and lse
     (B, Sq, H) in the natural-log domain, aligned for per-head chunk
-    combination.
+    combination. `mask` (bool (Sq, Sc), True = attend) forces the einsum
+    path (the flash stats wrapper has no mask input); masked scores sit at
+    finfo.min so a fully-masked chunk's lse weights it to exactly 0 in
+    `_combine_chunks` without inf/nan arithmetic.
     """
     from .attention import _on_tpu, _pick_blocks, resolve_use_flash
     from .flash_attention import flash_attention_with_lse
@@ -114,7 +118,7 @@ def _chunk_attention_with_lse(q, k, v, num_heads, scale, upcast, use_flash):
     b, sq, inner = q.shape
     sc = k.shape[1]
     head_dim = inner // num_heads
-    if resolve_use_flash(sq, head_dim, use_flash):
+    if mask is None and resolve_use_flash(sq, head_dim, use_flash):
         qf = q.reshape(b, sq, num_heads, head_dim).transpose(0, 2, 1, 3)
         kf = k.reshape(b, sc, num_heads, head_dim).transpose(0, 2, 1, 3)
         vf = v.reshape(b, sc, num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -135,12 +139,27 @@ def _chunk_attention_with_lse(q, k, v, num_heads, scale, upcast, use_flash):
         qh = qh.astype(jnp.float32)
         kh = kh.astype(jnp.float32)
     scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask[None, None], scores, jnp.finfo(scores.dtype).min)
     lse = jax.scipy.special.logsumexp(scores, axis=-1)  # (B, H, Sq)
     probs = jnp.exp(scores - lse[..., None]).astype(q.dtype)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", probs, v.reshape(b, sc, num_heads, head_dim)
     )
     return out, lse.transpose(0, 2, 1)
+
+
+def _causal_chunk_mask(sq_local, sc, q_offset, k_offset):
+    """Boolean (sq_local, sc) mask: global q row >= global k column.
+
+    One formula covers every chunk class in the causal sharded paths:
+    past chunks (all True), the diagonal chunk (lower-triangular), and
+    future chunks (all False). Offsets are traced per-chip values
+    (`lax.axis_index` products), so the SPMD program stays uniform.
+    """
+    q_idx = q_offset + jnp.arange(sq_local)[:, None]
+    k_idx = k_offset + jnp.arange(sc)[None, :]
+    return q_idx >= k_idx
 
 
 def sequence_parallel_attention(
@@ -153,11 +172,24 @@ def sequence_parallel_attention(
     scale: float,
     upcast: bool = False,
     use_flash: bool | None = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Self-attention with Q/K/V sequence-sharded over cfg.axis.
 
     q, k, v: (B, S, H*D) GLOBAL arrays (inside jit they may carry any
     sharding; shard_map re-lays them out to P(batch?, axis, None)).
+
+    `causal=True` (the AR-transformer long-context training case — the
+    reference caps its transformer at what one GPU's S² attention holds,
+    networks/nets/transformer.py) masks by GLOBAL position: chip r owns q
+    rows [r*S/n, (r+1)*S/n) and attends keys <= its global row. Both
+    impls take the einsum path for the masked work (the flash kernel's
+    causal mode has no row-offset input), which is the right tool at AR
+    sequence lengths; allgather stays fully differentiable. Chips own
+    uniform row blocks, so late ranks attend more keys than early ones —
+    the classic causal load imbalance (worst chip does ~2x the ideal
+    balanced work; a striped layout would fix it at the cost of a
+    permuted token order).
     """
     from .attention import dot_product_attention
 
@@ -166,7 +198,7 @@ def sequence_parallel_attention(
     if n == 1:
         return dot_product_attention(
             q, k, v, num_heads, scale=scale, upcast=upcast,
-            use_flash=use_flash, seq_shard=False,
+            use_flash=use_flash, seq_shard=False, causal=causal,
         )
 
     data = cfg.batch_axis
@@ -177,21 +209,32 @@ def sequence_parallel_attention(
     )
     spec = P(data if shard_b else None, cfg.axis, None)
 
+    sq_l = s // n
+
     if cfg.impl == "allgather":
 
         def local(ql, kl, vl):
             kg = jax.lax.all_gather(kl, cfg.axis, axis=1, tiled=True)
             vg = jax.lax.all_gather(vl, cfg.axis, axis=1, tiled=True)
-            return dot_product_attention(
-                ql, kg, vg, num_heads, scale=scale, upcast=upcast,
-                use_flash=use_flash, seq_shard=False,
+            if not causal:
+                return dot_product_attention(
+                    ql, kg, vg, num_heads, scale=scale, upcast=upcast,
+                    use_flash=use_flash, seq_shard=False,
+                )
+            r = jax.lax.axis_index(cfg.axis)
+            mask = _causal_chunk_mask(sq_l, s, r * sq_l, 0)
+            out, _ = _chunk_attention_with_lse(
+                ql, kg, vg, num_heads, scale, upcast, use_flash, mask=mask
             )
+            return out.astype(ql.dtype).reshape(ql.shape[0], sq_l, -1)
 
     else:  # ring
 
         def local(ql, kl, vl):
+            r = jax.lax.axis_index(cfg.axis)
+            diag_mask = _causal_chunk_mask(sq_l, sq_l, r * sq_l, r * sq_l) if causal else None
             out, lse = _chunk_attention_with_lse(
-                ql, kl, vl, num_heads, scale, upcast, use_flash
+                ql, kl, vl, num_heads, scale, upcast, use_flash, mask=diag_mask
             )
             acc = (out.astype(jnp.float32), lse)
             perm = [(i, (i + 1) % n) for i in range(n)]
@@ -200,8 +243,16 @@ def sequence_parallel_attention(
                 acc_out, acc_lse, kc, vc = carry
                 kc = jax.lax.ppermute(kc, cfg.axis, perm)
                 vc = jax.lax.ppermute(vc, cfg.axis, perm)
+                if causal:
+                    # after hop i+1 the resident chunk originated at rank
+                    # (r - i - 1) mod n; mask by global position (future
+                    # chunks go fully masked and combine with weight 0)
+                    src = jnp.mod(r - i - 1, n)
+                    mask_i = _causal_chunk_mask(sq_l, sq_l, r * sq_l, src * sq_l)
+                else:
+                    mask_i = None
                 out_i, lse_i = _chunk_attention_with_lse(
-                    ql, kc, vc, num_heads, scale, upcast, use_flash
+                    ql, kc, vc, num_heads, scale, upcast, use_flash, mask=mask_i
                 )
                 acc_out, acc_lse = _combine_chunks(acc_out, acc_lse, out_i, lse_i)
                 return acc_out, acc_lse, kc, vc
@@ -209,7 +260,7 @@ def sequence_parallel_attention(
             acc_out, acc_lse, _, _ = jax.lax.fori_loop(
                 0, n - 1, body, (*acc, kl, vl)
             )
-            b_l, sq_l = ql.shape[0], ql.shape[1]
+            b_l = ql.shape[0]
             return acc_out.astype(ql.dtype).reshape(b_l, sq_l, -1)
 
     fn = shard_map(

@@ -73,6 +73,41 @@ class TestSequenceParallelCorrectness:
         for a, b in zip(g_sh, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_causal_allgather_matches_unsharded(self):
+        q, k, v = _qkv(seed=5)
+        ref = dot_product_attention(q, k, v, 2, causal=True)
+        mesh = create_mesh({"data": 2, "space": 4})
+        with sequence_sharding(mesh, impl="allgather"):
+            out = jax.jit(
+                lambda q, k, v: dot_product_attention(q, k, v, 2, causal=True)
+            )(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_causal_ring_matches_unsharded(self):
+        q, k, v = _qkv(seed=6)
+        ref = dot_product_attention(q, k, v, 2, causal=True)
+        mesh = create_mesh({"data": 2, "space": 4})
+        with sequence_sharding(mesh, impl="ring"):
+            out = jax.jit(
+                lambda q, k, v: dot_product_attention(q, k, v, 2, causal=True)
+            )(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_causal_allgather_gradients_match(self):
+        """The AR-transformer long-context TRAINING case: causal sharded
+        attention must be differentiable and match unsharded grads."""
+        q, k, v = _qkv(seed=7)
+        mesh = create_mesh({"data": 2, "space": 4})
+
+        def loss(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v, 2, causal=True) ** 2)
+
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        with sequence_sharding(mesh, impl="allgather"):
+            g_sh = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+        for a, b in zip(g_sh, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_one_device_axis_falls_back(self):
         q, k, v = _qkv(seed=4, b=8)
         ref = dot_product_attention(q, k, v, 2)
