@@ -120,6 +120,54 @@ def measure_3d_ddim_samples_per_min(runs: int = 3) -> dict:
     }
 
 
+def measure_3d_dpmsolver_samples_per_min(runs: int = 3) -> dict:
+    """3D 128^3 DPM-Solver++ (2M) 10-step sampling (benchmarks/bench_fast_solver.py).
+
+    The beyond-reference fast solver: measured 0.9988 MS-SSIM agreement
+    with the DDIM-200 ODE endpoint (better than DDIM-50's 0.9851) at
+    4.6x DDIM-50's throughput — results_fast_solver.json.
+    """
+    from generativemodels_tpu.inferers import DiffusionInferer
+    from generativemodels_tpu.networks.schedulers import DPMSolverMultistepScheduler
+
+    model = DiffusionModelUNet(
+        spatial_dims=3,
+        in_channels=1,
+        out_channels=1,
+        num_res_blocks=1,
+        num_channels=(32, 64, 128),
+        attention_levels=(False, False, True),
+        num_head_channels=64,
+        norm_num_groups=32,
+        dtype=jnp.bfloat16,
+    )
+    x = jnp.zeros((1, 1, 128, 128, 128))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+    scheduler = DPMSolverMultistepScheduler(num_train_timesteps=1000)
+    scheduler.set_timesteps(10)
+    inferer = DiffusionInferer(scheduler)
+    fn = lambda xx, tt, context=None: model.apply(variables, xx, tt)
+    sample = jax.jit(lambda noise, key: inferer.sample(noise, fn, key=key))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+
+    float(jnp.sum(sample(noise, jax.random.PRNGKey(2))))  # compile + true sync
+    t0 = time.time()
+    for i in range(runs):
+        img = sample(noise, jax.random.PRNGKey(3 + i))
+    float(jnp.sum(img))
+    per_sample = (time.time() - t0) / runs
+    value = 60.0 / per_sample
+    return {
+        "metric": "3d_128_dpmsolver10_samples_per_min_per_chip",
+        "value": round(value, 3),
+        "unit": "samples/min",
+        "vs_baseline": None,
+        "baseline_context": "no reference analogue (the reference ships no fast solver); "
+        "fidelity evidence in benchmarks/results_fast_solver.json",
+        "config": "3D UNet(32,64,128) bf16, 128^3, DPM-Solver++(2M)-10, batch 1",
+    }
+
+
 def torch_cpu_baseline() -> float:
     """Measured-once PyTorch-CPU steps/sec for the same config (cached)."""
     if os.path.exists(BASELINE_CACHE):
@@ -202,9 +250,14 @@ def main() -> None:
         metric_3d = measure_3d_ddim_samples_per_min()
     except Exception as exc:  # e.g. CPU-only environment: 3D 128^3 infeasible
         metric_3d = {"metric": "3d_128_ddim50_samples_per_min_per_chip", "error": str(exc)[:200]}
+    try:
+        metric_dpm = measure_3d_dpmsolver_samples_per_min()
+    except Exception as exc:
+        metric_dpm = {"metric": "3d_128_dpmsolver10_samples_per_min_per_chip", "error": str(exc)[:200]}
     result["metrics"] = [
         {k: result[k] for k in ("metric", "value", "unit", "vs_baseline", "baseline", "config")},
         metric_3d,
+        metric_dpm,
     ]
     print(json.dumps(result))
 

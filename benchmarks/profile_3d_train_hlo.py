@@ -39,7 +39,10 @@ def main() -> None:
         spatial_dims=3, in_channels=1, out_channels=1, num_res_blocks=1,
         num_channels=(32, 64, 128), attention_levels=(False, False, True),
         num_head_channels=64, norm_num_groups=32, dtype=jnp.bfloat16,
-        use_checkpointing=True,
+        # round 4: match the official bench config (remat off — the remat
+        # tax was the round-4 +26% win; this profile now tracks the
+        # no-remat step with the backward-ilv dispatch active)
+        use_checkpointing=False,
     )
     x = jnp.zeros((1, 1, SIZE, SIZE, SIZE))
     variables = jax.jit(model.init)(

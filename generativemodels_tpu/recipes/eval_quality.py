@@ -137,6 +137,8 @@ def main() -> None:
     parser.add_argument("--sample-count", type=int, default=None)
     parser.add_argument("--sample-batch", type=int, default=None)
     parser.add_argument("--ddim-steps", type=int, default=None)
+    parser.add_argument("--solver", choices=["ddim", "dpmsolver"], default="ddim",
+                        help="dpmsolver = DPM-Solver++ (2M) at --ddim-steps steps")
     parser.add_argument("--data-dir", type=str, default=None)
     parser.add_argument("--fid-weights", type=str, default=None)
     parser.add_argument("--out", type=str, default="quality_results.json")
@@ -192,10 +194,15 @@ def main() -> None:
     train_s = time.time() - t0
     real = jnp.concatenate(real_batches)[: args.sample_count]
 
-    # ---- sampling (DDIM, one lax.scan per batch) ----------------------------
-    ddim = DDIMScheduler(num_train_timesteps=1000)
-    ddim.set_timesteps(args.ddim_steps)
-    inferer = DiffusionInferer(ddim)
+    # ---- sampling (one lax.scan per batch) -----------------------------------
+    if args.solver == "dpmsolver":
+        from ..networks.schedulers import DPMSolverMultistepScheduler
+
+        sched = DPMSolverMultistepScheduler(num_train_timesteps=1000)
+    else:
+        sched = DDIMScheduler(num_train_timesteps=1000)
+    sched.set_timesteps(args.ddim_steps)
+    inferer = DiffusionInferer(sched)
     fn = lambda x, t, context=None: model.apply({"params": state.params}, x, t)
     sample = jax.jit(lambda noise, key: inferer.sample(noise, fn, key=key))
 
@@ -215,7 +222,7 @@ def main() -> None:
     result = {
         "preset": args.preset,
         "config": f"2D DDPM {tuple(args.channels)} b{args.batch} {args.size}px "
-                  f"T=1000 DDIM-{args.ddim_steps}",
+                  f"T=1000 {args.solver.upper()}-{args.ddim_steps}",
         "data": args.data_dir or "synthetic blobs",
         "train_steps": args.train_steps,
         "final_train_loss": float(loss),
