@@ -22,6 +22,11 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # Exponential moving average of params (None unless the step was built
+    # with ema_decay). Sampling from the EMA weights is standard diffusion
+    # practice (beyond reference: the torch reference ships no EMA); pass
+    # `state.ema_params` wherever you would pass `state.params`.
+    ema_params: Any = None
 
 
 def make_diffusion_train_step(
@@ -34,6 +39,7 @@ def make_diffusion_train_step(
     spatial_shard_axis: int | None = None,
     donate: bool = True,
     accumulate_steps: int = 1,
+    ema_decay: float | None = None,
 ):
     """Build a jitted (optionally mesh-sharded) DDPM training step.
 
@@ -51,6 +57,11 @@ def make_diffusion_train_step(
             over a `lax.scan` (activation memory = one microbatch, so
             effective batches can exceed HBM) and applied in ONE
             optimizer update — numerically the full-batch step.
+        ema_decay: if set, maintain an exponential moving average of the
+            params in `state.ema_params` (init with
+            `init_train_state(..., ema=True)`). Effective decay warms up
+            as `min(ema_decay, (1+step)/(10+step))` so early steps track
+            the fast-moving params instead of the random init.
 
     Returns:
         `step(state, images, rng) -> (state, loss)`.
@@ -120,17 +131,47 @@ def make_diffusion_train_step(
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        ema_params = _ema_update(state, params, ema_decay)
+        return TrainState(params, opt_state, state.step + 1, ema_params), loss
 
     if mesh is not None:
         rep = replicated(mesh)
-        state_sharding = TrainState(params=rep, opt_state=rep, step=rep)
+        state_sharding = TrainState(
+            params=rep,
+            opt_state=rep,
+            step=rep,
+            ema_params=rep if ema_decay is not None else None,
+        )
         return jax.jit(
             step,
             donate_argnums=(0,) if donate else (),
             out_shardings=(state_sharding, rep),
         )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _ema_update(state: TrainState, params, ema_decay: float | None):
+    """One EMA step with decay warmup (no-op when ema_decay is None).
+
+    Warmup `min(decay, (1+step)/(10+step))` is the standard schedule
+    (used by diffusers' EMAModel and most production diffusion trainers):
+    the average starts as a near-copy of the live params and anneals
+    toward the long decay, avoiding a random-init bias in the average.
+    """
+    if ema_decay is None:
+        return state.ema_params
+    if state.ema_params is None:
+        raise ValueError(
+            "ema_decay is set but state.ema_params is None — "
+            "initialise with init_train_state(params, tx, ema=True)"
+        )
+    step = state.step.astype(jnp.float32)
+    d = jnp.minimum(ema_decay, (1.0 + step) / (10.0 + step))
+    return jax.tree_util.tree_map(
+        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+        state.ema_params,
+        params,
+    )
 
 
 def make_multi_step_train(
@@ -141,6 +182,7 @@ def make_multi_step_train(
     num_train_timesteps: int | None = None,
     prediction_target: str = "epsilon",
     donate: bool = True,
+    ema_decay: float | None = None,
 ):
     """Build a jitted function running `steps_per_call` train steps per dispatch.
 
@@ -172,7 +214,8 @@ def make_multi_step_train(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        ema_params = _ema_update(state, params, ema_decay)
+        return TrainState(params, opt_state, state.step + 1, ema_params), loss
 
     def multi(state: TrainState, stacked_images, rng):
         rngs = jax.random.split(rng, steps_per_call)
@@ -182,5 +225,13 @@ def make_multi_step_train(
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
-def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
-    return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
+def init_train_state(
+    params, tx: optax.GradientTransformation, ema: bool = False
+) -> TrainState:
+    """Build the initial TrainState; `ema=True` seeds ema_params = params."""
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.asarray(0),
+        ema_params=jax.tree_util.tree_map(jnp.array, params) if ema else None,
+    )

@@ -64,6 +64,10 @@ def main() -> None:
                         help="gradient-accumulation microbatches per optimizer "
                         "update (batch must divide evenly)")
     parser.add_argument("--checkpoint-dir", type=str, default=None)
+    parser.add_argument("--ema-decay", type=float, default=None,
+                        help="maintain an EMA of the params (e.g. 0.9999); "
+                        "sampling and the saved checkpoint then use the EMA "
+                        "weights (beyond reference — standard diffusion practice)")
     parser.add_argument("--sample", action="store_true", help="sample after training")
     args = parser.parse_args()
 
@@ -86,10 +90,10 @@ def main() -> None:
     mesh = create_mesh({"data": jax.device_count()}) if args.data_parallel else None
     step = make_diffusion_train_step(
         apply, scheduler, tx, mesh=mesh, prediction_target=args.prediction_type,
-        accumulate_steps=args.accumulate,
+        accumulate_steps=args.accumulate, ema_decay=args.ema_decay,
     )
     params = shard_params(variables["params"], mesh) if mesh else variables["params"]
-    state = init_train_state(params, tx)
+    state = init_train_state(params, tx, ema=args.ema_decay is not None)
 
     mgr = CheckpointManager(args.checkpoint_dir) if args.checkpoint_dir else None
     timer = StepTimer(warmup=2)
@@ -118,14 +122,17 @@ def main() -> None:
             sps = timer.steps_per_sec
             print(f"step {i + 1}/{args.steps} loss={float(loss):.4f}"
                   + (f" {sps:.2f} steps/s" if sps else ""))
+    # EMA weights (when tracked) are what checkpoints and sampling consume
+    final_params = state.ema_params if args.ema_decay is not None else state.params
     if mgr:
-        mgr.save(int(state.step), {"params": state.params, "step": state.step})
-        print(f"checkpoint saved at step {int(state.step)}")
+        mgr.save(int(state.step), {"params": final_params, "step": state.step})
+        print(f"checkpoint saved at step {int(state.step)}"
+              + (" (EMA weights)" if args.ema_decay is not None else ""))
 
     if args.sample:
         inferer = DiffusionInferer(scheduler)
         scheduler.set_timesteps(1000)
-        fn = lambda x, t, context=None: apply(state.params, x, t)
+        fn = lambda x, t, context=None: apply(final_params, x, t)
         t0 = time.time()
         img = inferer.sample(
             jax.random.normal(jax.random.PRNGKey(7), (1, 1, args.size, args.size)),

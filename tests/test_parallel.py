@@ -388,3 +388,94 @@ class TestAttentionBearingFamilies:
         assert out.shape == (4,)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=1e-4)
+
+
+class TestEMAParams:
+    """EMA-of-weights in the train step (beyond reference — the torch
+    reference ships no weight averaging; this is the standard diffusion
+    practice of sampling from an exponential moving average)."""
+
+    def test_ema_matches_hand_recursion(self):
+        params, apply = _tiny_unet()
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        tx = optax.adam(1e-3)
+        decay = 0.9
+        step = make_diffusion_train_step(apply, scheduler, tx, donate=False,
+                                         ema_decay=decay)
+        state = init_train_state(params, tx, ema=True)
+        images = jax.random.uniform(jax.random.PRNGKey(1), (8, 1, 16, 16))
+
+        # hand recursion with the warmup schedule min(decay, (1+s)/(10+s))
+        expected = jax.tree_util.tree_map(jnp.array, params)
+        rng = jax.random.PRNGKey(2)
+        for s in range(3):
+            rng, k = jax.random.split(rng)
+            state, _ = step(state, images, k)
+            d = min(decay, (1.0 + s) / (10.0 + s))
+            expected = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1.0 - d), expected, state.params
+            )
+        for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                        jax.tree_util.tree_leaves(expected)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+        # EMA must differ from the live params (it lags the optimizer)
+        diffs = [float(jnp.max(jnp.abs(a - b)))
+                 for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                                 jax.tree_util.tree_leaves(state.params))]
+        assert max(diffs) > 0
+
+    def test_ema_under_mesh(self):
+        mesh = create_mesh({"data": 8})
+        params, apply = _tiny_unet()
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        tx = optax.adam(1e-4)
+        step = make_diffusion_train_step(apply, scheduler, tx, mesh=mesh,
+                                         donate=False, ema_decay=0.999)
+        state = init_train_state(shard_params(params, mesh), tx, ema=True)
+        images = shard_batch(
+            jax.random.uniform(jax.random.PRNGKey(1), (8, 1, 16, 16)), mesh
+        )
+        with mesh:
+            state, loss = step(state, images, jax.random.PRNGKey(2))
+        assert bool(jnp.isfinite(loss))
+        assert state.ema_params is not None
+
+    def test_missing_ema_init_raises(self):
+        params, apply = _tiny_unet()
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        tx = optax.adam(1e-4)
+        step = make_diffusion_train_step(apply, scheduler, tx, donate=False,
+                                         ema_decay=0.999)
+        state = init_train_state(params, tx)  # ema=False: no ema_params
+        images = jax.random.uniform(jax.random.PRNGKey(1), (8, 1, 16, 16))
+        with pytest.raises(ValueError, match="ema_params"):
+            step(state, images, jax.random.PRNGKey(2))
+
+    def test_default_keeps_ema_none(self):
+        params, apply = _tiny_unet()
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        tx = optax.adam(1e-4)
+        step = make_diffusion_train_step(apply, scheduler, tx, donate=False)
+        state = init_train_state(params, tx)
+        images = jax.random.uniform(jax.random.PRNGKey(1), (8, 1, 16, 16))
+        state, _ = step(state, images, jax.random.PRNGKey(2))
+        assert state.ema_params is None
+
+    def test_multi_step_train_ema(self):
+        from generativemodels_tpu.parallel import make_multi_step_train
+
+        params, apply = _tiny_unet()
+        scheduler = DDPMScheduler(num_train_timesteps=100)
+        tx = optax.adam(1e-3)
+        multi = make_multi_step_train(apply, scheduler, tx, steps_per_call=3,
+                                      donate=False, ema_decay=0.9)
+        state = init_train_state(params, tx, ema=True)
+        stacked = jax.random.uniform(jax.random.PRNGKey(1), (3, 4, 1, 16, 16))
+        state, losses = multi(state, stacked, jax.random.PRNGKey(2))
+        assert losses.shape == (3,)
+        assert int(state.step) == 3
+        diffs = [float(jnp.max(jnp.abs(a - b)))
+                 for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                                 jax.tree_util.tree_leaves(state.params))]
+        assert max(diffs) > 0
