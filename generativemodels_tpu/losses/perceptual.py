@@ -11,6 +11,8 @@ converted on load) or — for development only — random initialisation
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -151,6 +153,14 @@ class PerceptualLoss:
             backbone — converted on load via the backbone's NAME_MAP.
         lin_path: lpips `lin` head checkpoint for the learned per-layer
             channel weights (LPIPS backends only).
+        cache_dir: directory searched for a converted checkpoint named
+            `<network_type>.{pt,pth,npz}` when `pretrained_path` is not
+            given (reference: generative/losses/perceptual.py:41 sets the
+            torch.hub download cache; here — no egress — it is the local
+            weight-drop directory).
+        pretrained_state_dict_key: key selecting the backbone state dict
+            inside the checkpoint at `pretrained_path` (reference:
+            generative/losses/perceptual.py:307).
         key: PRNG key for backbone init when no params are given.
         pretrained: reference-API compatibility flag. True (the reference
             default, where it triggers a download) with NO weights supplied
@@ -172,6 +182,8 @@ class PerceptualLoss:
         lin_weights=None,
         pretrained_path: str | None = None,
         lin_path: str | None = None,
+        cache_dir: str | None = None,
+        pretrained_state_dict_key: str | None = None,
         key=None,
     ):
         if spatial_dims not in (2, 3):
@@ -185,6 +197,15 @@ class PerceptualLoss:
         self.spatial_dims = spatial_dims
         self.is_fake_3d = is_fake_3d
         self.fake_3d_ratio = fake_3d_ratio
+
+        if pretrained_path is None and cache_dir is not None:
+            # reference-API compat: cache_dir is where downloaded weights
+            # land; here it is searched for a dropped-in converted file
+            for ext in (".pt", ".pth", ".npz"):
+                candidate = os.path.join(cache_dir, network_type + ext)
+                if os.path.exists(candidate):
+                    pretrained_path = candidate
+                    break
 
         # Reference parity footgun (generative/losses/perceptual.py:90,167):
         # there `pretrained=True` *downloads* real LPIPS / torch.hub weights.
@@ -217,7 +238,8 @@ class PerceptualLoss:
             from ..networks.pretrained import load_pretrained_perceptual
 
             loaded = load_pretrained_perceptual(
-                network_type, pretrained_path, lin_path=lin_path
+                network_type, pretrained_path, lin_path=lin_path,
+                state_dict_key=pretrained_state_dict_key,
             )
             params = loaded["params"]
             batch_stats = loaded["batch_stats"]

@@ -118,6 +118,7 @@ class SSIMMetric:
         k1: float = 0.01,
         k2: float = 0.03,
         reduction: str = "mean",
+        get_not_nans: bool = False,
     ) -> None:
         self.spatial_dims = spatial_dims
         self.data_range = data_range
@@ -127,6 +128,26 @@ class SSIMMetric:
         self.k1 = k1
         self.k2 = k2
         self.reduction = reduction
+        self.get_not_nans = get_not_nans
+
+    def _reduce(self, per_batch: jnp.ndarray):
+        """Apply `reduction`; with get_not_nans=True (reference:
+        generative/metrics/ssim.py:54 via MONAI RegressionMetric), NaN
+        entries are excluded and `(value, not_nans_count)` is returned."""
+        if self.get_not_nans:
+            finite = jnp.isfinite(per_batch)
+            not_nans = jnp.sum(finite).astype(jnp.float32)
+            safe = jnp.where(finite, per_batch, 0.0)
+            if self.reduction == "mean":
+                return safe.sum() / jnp.maximum(not_nans, 1.0), not_nans
+            if self.reduction == "sum":
+                return safe.sum(), not_nans
+            return per_batch, not_nans
+        if self.reduction == "mean":
+            return per_batch.mean()
+        if self.reduction == "sum":
+            return per_batch.sum()
+        return per_batch
 
     def _validate(self, y_pred):
         expected = self.spatial_dims + 2
@@ -143,11 +164,7 @@ class SSIMMetric:
             self.kernel_size, self.kernel_sigma, self.k1, self.k2,
         )
         per_batch = ssim.reshape(ssim.shape[0], -1).mean(axis=1, keepdims=True)
-        if self.reduction == "mean":
-            return per_batch.mean()
-        if self.reduction == "sum":
-            return per_batch.sum()
-        return per_batch
+        return self._reduce(per_batch)
 
 
 class MultiScaleSSIMMetric(SSIMMetric):
@@ -164,10 +181,11 @@ class MultiScaleSSIMMetric(SSIMMetric):
         k2: float = 0.03,
         weights: Sequence[float] = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333),
         reduction: str = "mean",
+        get_not_nans: bool = False,
     ) -> None:
         super().__init__(
             spatial_dims, data_range, kernel_type, kernel_size, kernel_sigma, k1, k2,
-            reduction,
+            reduction, get_not_nans,
         )
         self.weights = tuple(weights)
 
@@ -206,8 +224,4 @@ class MultiScaleSSIMMetric(SSIMMetric):
         stacked = jnp.stack(multiscale)
         ms = jnp.prod(stacked ** weights[:, None], axis=0)
         per_batch = ms.reshape(ms.shape[0], -1).mean(axis=1, keepdims=True)
-        if self.reduction == "mean":
-            return per_batch.mean()
-        if self.reduction == "sum":
-            return per_batch.sum()
-        return per_batch
+        return self._reduce(per_batch)

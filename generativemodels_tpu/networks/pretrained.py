@@ -146,15 +146,23 @@ def load_lpips_lin_weights(state_dict: dict) -> list[np.ndarray]:
     return weights
 
 
-def _load_state_dict(path: str) -> dict:
-    """Load a torch .pt/.pth checkpoint or a numpy .npz into a flat dict."""
+def _load_state_dict(path: str, state_dict_key: str | None = None) -> dict:
+    """Load a torch .pt/.pth checkpoint or a numpy .npz into a flat dict.
+
+    `state_dict_key` selects a sub-dict of the checkpoint before
+    conversion (reference: generative/losses/perceptual.py:307
+    `pretrained_state_dict_key`); when None, a "state_dict" wrapper is
+    unwrapped automatically (MedicalNet's layout).
+    """
     if path.endswith(".npz"):
         with np.load(path) as f:
             return {k: f[k] for k in f.files}
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(obj, dict) and "state_dict" in obj:  # MedicalNet wraps it
+    if state_dict_key is not None:
+        obj = obj[state_dict_key]
+    elif isinstance(obj, dict) and "state_dict" in obj:  # MedicalNet wraps it
         obj = obj["state_dict"]
     return {k: np.asarray(v) for k, v in obj.items()}
 
@@ -163,6 +171,7 @@ def load_pretrained_perceptual(
     network_type: str,
     backbone_path: str,
     lin_path: str | None = None,
+    state_dict_key: str | None = None,
 ) -> dict:
     """Load + convert pretrained weights for `PerceptualLoss`.
 
@@ -170,7 +179,7 @@ def load_pretrained_perceptual(
     splat into `PerceptualLoss(..., **loaded)`.
     """
     params, batch_stats = convert_backbone_state_dict(
-        _load_state_dict(backbone_path), network_type
+        _load_state_dict(backbone_path, state_dict_key), network_type
     )
     lin_weights = None
     if lin_path is not None and os.path.exists(lin_path):

@@ -1,0 +1,200 @@
+"""Constructor-signature parity audit vs the reference library.
+
+Parses the reference sources with `ast` (no torch import needed) and
+compares each public class's __init__ parameter list against the
+same-named class in generativemodels_tpu. The goal of the audit: a user
+porting reference code 1:1 must find every constructor argument they
+already use — extra TPU-side knobs (dtype, use_flash, ...) are fine,
+*missing* reference parameters are the defect class this guards against.
+
+Reference files audited are listed in REF_CLASSES below with their
+`path -> [classes]`. Run: python tools/api_parity_audit.py
+"""
+from __future__ import annotations
+
+import ast
+import importlib
+import inspect
+import json
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REF = "/root/reference/generative"
+
+# reference file -> (our module, [class names])
+REF_CLASSES = {
+    "networks/nets/diffusion_model_unet.py": (
+        "generativemodels_tpu.networks.nets.diffusion_model_unet",
+        ["DiffusionModelUNet", "DiffusionModelEncoder"],
+    ),
+    "networks/nets/autoencoderkl.py": (
+        "generativemodels_tpu.networks.nets.autoencoderkl",
+        ["AutoencoderKL"],
+    ),
+    "networks/nets/vqvae.py": (
+        "generativemodels_tpu.networks.nets.vqvae",
+        ["VQVAE"],
+    ),
+    "networks/nets/controlnet.py": (
+        "generativemodels_tpu.networks.nets.controlnet",
+        ["ControlNet"],
+    ),
+    "networks/nets/transformer.py": (
+        "generativemodels_tpu.networks.nets.transformer",
+        ["DecoderOnlyTransformer"],
+    ),
+    "networks/nets/patchgan_discriminator.py": (
+        "generativemodels_tpu.networks.nets.patchgan_discriminator",
+        ["PatchDiscriminator", "MultiScalePatchDiscriminator"],
+    ),
+    "networks/nets/spade_autoencoderkl.py": (
+        "generativemodels_tpu.networks.nets.spade_autoencoderkl",
+        ["SPADEAutoencoderKL"],
+    ),
+    "networks/nets/spade_diffusion_model_unet.py": (
+        "generativemodels_tpu.networks.nets.spade_diffusion_model_unet",
+        ["SPADEDiffusionModelUNet"],
+    ),
+    "networks/nets/spade_network.py": (
+        "generativemodels_tpu.networks.nets.spade_network",
+        ["SPADENet"],
+    ),
+    "networks/blocks/selfattention.py": (
+        "generativemodels_tpu.networks.blocks.selfattention",
+        ["SABlock"],
+    ),
+    "networks/blocks/transformerblock.py": (
+        "generativemodels_tpu.networks.blocks.selfattention",
+        ["TransformerBlock"],
+    ),
+    "networks/blocks/encoder_modules.py": (
+        "generativemodels_tpu.networks.blocks.encoder_modules",
+        ["SpatialRescaler"],
+    ),
+    "networks/blocks/spade_norm.py": (
+        "generativemodels_tpu.networks.blocks.spade_norm",
+        ["SPADE"],
+    ),
+    "networks/layers/vector_quantizer.py": (
+        "generativemodels_tpu.networks.layers.vector_quantizer",
+        ["EMAQuantizer", "VectorQuantizer"],
+    ),
+    "networks/schedulers/ddpm.py": (
+        "generativemodels_tpu.networks.schedulers.ddpm",
+        ["DDPMScheduler"],
+    ),
+    "networks/schedulers/ddim.py": (
+        "generativemodels_tpu.networks.schedulers.ddim",
+        ["DDIMScheduler"],
+    ),
+    "networks/schedulers/pndm.py": (
+        "generativemodels_tpu.networks.schedulers.pndm",
+        ["PNDMScheduler"],
+    ),
+    "inferers/inferer.py": (
+        "generativemodels_tpu.inferers",
+        [
+            "DiffusionInferer",
+            "LatentDiffusionInferer",
+            "ControlNetDiffusionInferer",
+            "ControlNetLatentDiffusionInferer",
+            "VQVAETransformerInferer",
+        ],
+    ),
+    "losses/adversarial_loss.py": (
+        "generativemodels_tpu.losses.adversarial_loss",
+        ["PatchAdversarialLoss"],
+    ),
+    "losses/perceptual.py": (
+        "generativemodels_tpu.losses.perceptual",
+        ["PerceptualLoss"],
+    ),
+    "losses/spectral_loss.py": (
+        "generativemodels_tpu.losses.spectral_loss",
+        ["JukeboxLoss"],
+    ),
+    "metrics/fid.py": ("generativemodels_tpu.metrics.fid", ["FIDMetric"]),
+    "metrics/mmd.py": ("generativemodels_tpu.metrics.mmd", ["MMDMetric"]),
+    "metrics/ssim.py": ("generativemodels_tpu.metrics.ssim", ["SSIMMetric"]),
+    "metrics/ms_ssim.py": (
+        "generativemodels_tpu.metrics.ssim",
+        ["MultiScaleSSIMMetric"],
+    ),
+    "utils/ordering.py": ("generativemodels_tpu.utils.ordering", ["Ordering"]),
+    "utils/component_store.py": (
+        "generativemodels_tpu.utils.component_store",
+        ["ComponentStore"],
+    ),
+    "engines/prepare_batch.py": (
+        "generativemodels_tpu.engines.prepare_batch",
+        ["DiffusionPrepareBatch", "VPredictionPrepareBatch"],
+    ),
+}
+
+
+def ref_init_params(path: str, cls: str) -> list[str] | None:
+    """Parameter names of `cls.__init__` in a reference file, via ast."""
+    tree = ast.parse(open(os.path.join(REF, path)).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef) and node.name == cls:
+            for item in node.body:
+                if isinstance(item, ast.FunctionDef) and item.name == "__init__":
+                    a = item.args
+                    names = [p.arg for p in a.posonlyargs + a.args if p.arg != "self"]
+                    names += [p.arg for p in a.kwonlyargs]
+                    return names
+    return None
+
+
+def our_init_params(module: str, cls: str) -> list[str] | None:
+    try:
+        mod = importlib.import_module(module)
+        obj = getattr(mod, cls)
+    except (ImportError, AttributeError):
+        return None
+    try:
+        sig = inspect.signature(obj.__init__)
+    except (TypeError, ValueError):
+        return None
+    skip = {"self", "args", "kwargs"}
+    try:
+        import flax.linen as nn
+
+        if isinstance(obj, type) and issubclass(obj, nn.Module):
+            skip |= {"parent", "name"}  # flax dataclass internals
+    except ImportError:
+        pass
+    return [p for p in sig.parameters if p not in skip]
+
+
+def main() -> None:
+    report = {"classes": [], "missing_total": 0}
+    for path, (module, classes) in sorted(REF_CLASSES.items()):
+        for cls in classes:
+            ref = ref_init_params(path, cls)
+            ours = our_init_params(module, cls)
+            if ref is None:
+                row = {"class": cls, "error": f"not found in reference {path}"}
+            elif ours is None:
+                row = {"class": cls, "error": f"not importable from {module}"}
+            else:
+                missing = [p for p in ref if p not in ours]
+                extra = [p for p in ours if p not in ref]
+                row = {
+                    "class": cls,
+                    "ref_file": path,
+                    "missing": missing,
+                    "extra_tpu_knobs": extra,
+                }
+                report["missing_total"] += len(missing)
+            report["classes"].append(row)
+    print(json.dumps(report, indent=1))
+    sys.exit(1 if report["missing_total"] else 0)
+
+
+if __name__ == "__main__":
+    main()
