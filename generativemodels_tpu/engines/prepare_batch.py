@@ -30,16 +30,27 @@ class DiffusionPrepareBatch:
     def get_target(self, images, noise, timesteps):
         return noise
 
+    def get_noise(self, images, key: jax.Array):
+        """Overridable noise draw (reference:
+        generative/engines/prepare_batch.py:50 `get_noise`; explicit key
+        here instead of torch's global RNG)."""
+        return jax.random.normal(key, images.shape, dtype=images.dtype)
+
+    def get_timesteps(self, images, key: jax.Array):
+        """Overridable uniform timestep draw (reference:
+        generative/engines/prepare_batch.py:54 `get_timesteps`)."""
+        return jax.random.randint(
+            key, (images.shape[0],), 0, self.num_train_timesteps
+        )
+
     def __call__(self, batchdata, key: jax.Array):
         if isinstance(batchdata, dict):
             images = batchdata[self.image_key]
         else:
             images = batchdata
         k_noise, k_t = jax.random.split(key)
-        noise = jax.random.normal(k_noise, images.shape, dtype=images.dtype)
-        timesteps = jax.random.randint(
-            k_t, (images.shape[0],), 0, self.num_train_timesteps
-        )
+        noise = self.get_noise(images, k_noise)
+        timesteps = self.get_timesteps(images, k_t)
 
         target = self.get_target(images, noise, timesteps)
         kwargs = {"noise": noise, "timesteps": timesteps}

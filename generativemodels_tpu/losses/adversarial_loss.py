@@ -60,28 +60,52 @@ class PatchAdversarialLoss:
         self.criterion = criterion
         self.reduction = reduction
 
-    def _single(self, disc_out: jnp.ndarray, target_is_real: bool) -> jnp.ndarray:
-        if self.activation is not None:
-            disc_out = self.activation(disc_out)
+    def get_target_tensor(self, input: jnp.ndarray, target_is_real: bool) -> jnp.ndarray:
+        """Label tensor shaped like `input` (reference:
+        generative/losses/adversarial_loss.py:80 — real/fake fill value
+        broadcast to the discriminator output shape)."""
+        filling = self.real_label if target_is_real else self.fake_label
+        return jnp.full_like(input, filling)
 
-        # Reference semantics (adversarial_loss.py:160-170): for bce and
-        # least_squares the torch loss module applies `reduction` over ALL
-        # elements of each discriminator output; hinge always takes the mean.
+    def get_zero_tensor(self, input: jnp.ndarray) -> jnp.ndarray:
+        """Zeros shaped like `input` (reference: adversarial_loss.py:95)."""
+        return jnp.zeros_like(input)
+
+    def forward_single(self, input: jnp.ndarray, target: jnp.ndarray):
+        """Criterion between one (activated) discriminator output and its
+        target tensor (reference: adversarial_loss.py:160-170). For hinge,
+        `target` is unused beyond shape — the reference passes the zero
+        tensor and computes -mean(min(input - 1, 0))."""
         if self.criterion == AdversarialCriterions.BCE.value:
-            target = self.real_label if target_is_real else self.fake_label
-            p = jnp.clip(disc_out, 1e-7, 1 - 1e-7)
+            p = jnp.clip(input, 1e-7, 1 - 1e-7)
             elems = -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+        elif self.criterion == AdversarialCriterions.LEAST_SQUARE.value:
+            elems = (input - target) ** 2
         elif self.criterion == AdversarialCriterions.HINGE.value:
-            signed = disc_out if target_is_real else -disc_out
-            return -jnp.mean(jnp.minimum(signed - 1.0, 0.0))
-        else:  # least squares
-            target = self.real_label if target_is_real else self.fake_label
-            elems = (disc_out - target) ** 2
+            return -jnp.mean(jnp.minimum(input - 1.0, self.get_zero_tensor(input)))
+        else:
+            return None
         if self.reduction == "sum":
             return jnp.sum(elems)
         if self.reduction == "none":
             return elems
         return jnp.mean(elems)
+
+    def _single(self, disc_out: jnp.ndarray, target_is_real: bool) -> jnp.ndarray:
+        # Reference flow (adversarial_loss.py:132-158): activation, then
+        # per-criterion target tensor, then forward_single — with the
+        # hinge fake case sign-flipping the input. For bce/least_squares
+        # `reduction` applies over ALL elements of each discriminator
+        # output; hinge always takes the mean.
+        if self.activation is not None:
+            disc_out = self.activation(disc_out)
+        if self.criterion == AdversarialCriterions.HINGE.value:
+            target = self.get_zero_tensor(disc_out)
+            if not target_is_real:
+                disc_out = -disc_out
+        else:
+            target = self.get_target_tensor(disc_out, target_is_real)
+        return self.forward_single(disc_out, target)
 
     def __call__(self, input, target_is_real: bool, for_discriminator: bool):
         """Compute the loss for one or several discriminator outputs.

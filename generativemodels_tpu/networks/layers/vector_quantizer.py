@@ -63,6 +63,16 @@ class EMAQuantizer(nn.Module):
         """Indices (B, *spatial) -> channels-last embeddings (B, *spatial, D)."""
         return jnp.take(embedding, embedding_indices, axis=0)
 
+    def distributed_synchronization(self, encodings_sum: jnp.ndarray, dw: jnp.ndarray):
+        """All-reduce the EMA statistics over the mesh axis (reference:
+        generative/networks/layers/vector_quantizer.py:140-159, where this
+        is a torch.distributed.all_reduce; here a `lax.psum` that is a
+        no-op unless ddp_sync is set and an axis_name is bound)."""
+        if self.ddp_sync and self.axis_name is not None:
+            encodings_sum = jax.lax.psum(encodings_sum, self.axis_name)
+            dw = jax.lax.psum(dw, self.axis_name)
+        return encodings_sum, dw
+
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False):
         embedding = self.variable(
@@ -80,9 +90,7 @@ class EMAQuantizer(nn.Module):
         if train:
             encodings_sum = jnp.sum(encodings, axis=0)
             dw = jnp.dot(encodings.T, flat_input)
-            if self.ddp_sync and self.axis_name is not None:
-                encodings_sum = jax.lax.psum(encodings_sum, self.axis_name)
-                dw = jax.lax.psum(dw, self.axis_name)
+            encodings_sum, dw = self.distributed_synchronization(encodings_sum, dw)
 
             new_cluster_size = ema_cluster_size.value * self.decay + encodings_sum * (
                 1 - self.decay

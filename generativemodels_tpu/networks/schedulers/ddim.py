@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...utils import StrEnum
-from .scheduler import Scheduler
+from .scheduler import Scheduler, _reject_torch_generator
 
 
 class DDIMPredictionType(StrEnum):
@@ -67,7 +67,7 @@ class DDIMScheduler(Scheduler):
 
         self.set_timesteps(num_train_timesteps)
 
-    def set_timesteps(self, num_inference_steps: int) -> None:
+    def set_timesteps(self, num_inference_steps: int, device=None) -> None:
         if num_inference_steps > self.num_train_timesteps:
             raise ValueError(
                 f"`num_inference_steps`: {num_inference_steps} cannot be larger than "
@@ -114,8 +114,10 @@ class DDIMScheduler(Scheduler):
         sample: jnp.ndarray,
         eta: float = 0.0,
         key: jax.Array | None = None,
+        generator=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """One DDIM step x_t -> x_{t-dt} (formulas 12/16 of the DDIM paper)."""
+        _reject_torch_generator(generator)
         t = jnp.asarray(timestep)
         prev_timestep = t - self.num_train_timesteps // self.num_inference_steps
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...utils import StrEnum
-from .scheduler import Scheduler
+from .scheduler import Scheduler, _reject_torch_generator
 
 
 class DDPMVarianceType(StrEnum):
@@ -68,7 +68,7 @@ class DDPMScheduler(Scheduler):
         self.prediction_type = prediction_type
         self.clip_sample_values = (clip_sample_min, clip_sample_max)
 
-    def set_timesteps(self, num_inference_steps: int) -> None:
+    def set_timesteps(self, num_inference_steps: int, device=None) -> None:
         """Choose the (strided) subset of train timesteps used at inference."""
         if num_inference_steps > self.num_train_timesteps:
             raise ValueError(
@@ -122,6 +122,7 @@ class DDPMScheduler(Scheduler):
         timestep,
         sample: jnp.ndarray,
         key: jax.Array | None = None,
+        generator=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """One reverse-diffusion step x_t -> x_{t-1}.
 
@@ -136,6 +137,7 @@ class DDPMScheduler(Scheduler):
         Returns:
             (pred_prev_sample, pred_original_sample)
         """
+        _reject_torch_generator(generator)
         if (
             model_output.shape[1] == sample.shape[1] * 2
             and self.variance_type in (DDPMVarianceType.LEARNED, DDPMVarianceType.LEARNED_RANGE)

@@ -134,7 +134,7 @@ class DPMSolverMultistepScheduler(Scheduler):
 
     # -- plan ----------------------------------------------------------------
 
-    def set_timesteps(self, num_inference_steps: int) -> None:
+    def set_timesteps(self, num_inference_steps: int, device=None) -> None:
         """Build the inference plan and precompute all per-step coefficients.
 
         "leading" spacing reproduces DDIMScheduler.set_timesteps exactly

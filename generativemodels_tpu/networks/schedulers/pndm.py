@@ -75,7 +75,7 @@ class PNDMScheduler(Scheduler):
 
         self.set_timesteps(num_train_timesteps)
 
-    def set_timesteps(self, num_inference_steps: int) -> None:
+    def set_timesteps(self, num_inference_steps: int, device=None) -> None:
         if num_inference_steps > self.num_train_timesteps:
             raise ValueError(
                 f"`num_inference_steps`: {num_inference_steps} cannot be larger than "

@@ -63,6 +63,21 @@ def _cosine_beta(num_train_timesteps: int, s: float = 8e-3):
     return betas, alphas, alphas_cumprod[:-1]
 
 
+def _reject_torch_generator(generator) -> None:
+    """Guard for the reference's `generator=` kwarg (a torch.Generator).
+
+    Accepted as None so 1:1 ports that pass `generator=None` run
+    unchanged (reference: generative/networks/schedulers/ddpm.py:245);
+    a real generator cannot drive jax.random — fail with the mapping
+    instead of silently ignoring the caller's RNG.
+    """
+    if generator is not None:
+        raise ValueError(
+            "torch Generators are not usable here — pass key=jax.random."
+            "PRNGKey(...) instead of generator= (explicit-RNG equivalent)."
+        )
+
+
 class Scheduler:
     """Base class holding precomputed schedule coefficient tables.
 

@@ -125,3 +125,41 @@ class Ordering:
         else:
             t[1::2, :] = t[1::2, ::-1]
         return t.ravel()
+
+    @staticmethod
+    def raster_scan_idx(rows: int, cols: int, depths: int | None = None) -> np.ndarray:
+        """Row-major (r, c[, d]) coordinate list — vectorized equivalent of
+        the reference's nested loops (generative/utils/ordering.py:155)."""
+        ranges = [np.arange(rows), np.arange(cols)]
+        if depths:
+            ranges.append(np.arange(depths))
+        grid = np.meshgrid(*ranges, indexing="ij")
+        return np.stack(grid, axis=-1).reshape(-1, len(ranges))
+
+    @staticmethod
+    def s_curve_idx(rows: int, cols: int, depths: int | None = None) -> np.ndarray:
+        """Boustrophedon coordinate list (reference ordering.py:172): column
+        direction alternates with row parity; in 3D the depth direction
+        alternates with (original) column parity."""
+        coords = Ordering.raster_scan_idx(rows, cols, depths)
+        if depths:
+            coords = coords.reshape(rows, cols, depths, 3)
+            coords[:, 1::2, :, :] = coords[:, 1::2, ::-1, :]
+            coords[1::2, :, :, :] = coords[1::2, ::-1, :, :]
+            return coords.reshape(-1, 3)
+        coords = coords.reshape(rows, cols, 2)
+        coords[1::2, :, :] = coords[1::2, ::-1, :]
+        return coords.reshape(-1, 2)
+
+    @staticmethod
+    def random_idx(
+        rows: int, cols: int, depths: int | None = None, rng: np.random.Generator | None = None
+    ) -> np.ndarray:
+        """Shuffled coordinate list (reference ordering.py:191; explicit
+        numpy Generator here instead of the global RNG when given)."""
+        coords = Ordering.raster_scan_idx(rows, cols, depths)
+        if rng is None:
+            np.random.shuffle(coords)
+        else:
+            rng.shuffle(coords)
+        return coords

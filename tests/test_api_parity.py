@@ -47,6 +47,15 @@ def test_constructor_params_superset_of_reference(path, module, cls):
     )
 
 
+@pytest.mark.parametrize("path,module,cls", _audit_rows())
+def test_public_methods_superset_of_reference(path, module, cls):
+    """Every public reference method (and its parameter names) must exist
+    here — `forward` maps to `__call__`; torch idioms with a documented
+    JAX equivalent are listed in api_parity_audit.METHOD_EXCEPTIONS."""
+    gaps = api_parity_audit.method_gaps(path, module, cls)
+    assert not gaps, gaps
+
+
 def test_audit_covers_all_reference_public_nets():
     """The class map must cover every class the reference exports from
     generative/networks/nets/__init__.py (guards against the audit

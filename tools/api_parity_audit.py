@@ -136,6 +136,79 @@ REF_CLASSES = {
 }
 
 
+# Intentional method-level differences (torch idioms with a documented
+# JAX-side equivalent), keyed "Class.method" -> reason. Anything listed
+# here is exempt from the method audit; everything else must exist with
+# a superset of the reference's parameter names.
+METHOD_EXCEPTIONS = {
+    "PatchDiscriminator.initialise_weights": (
+        "torch nn.Module.apply init-callback idiom; the N(0,0.02) init is "
+        "applied at construction via flax kernel_init instead"
+    ),
+    "MultiScalePatchDiscriminator.forward.i": (
+        "reference names the input tensor `i`; ours uses `x` (positional "
+        "call compatible; flax __call__ convention)"
+    ),
+    "PNDMScheduler.step_prk": (
+        "folded into the stateful step(state, ...) lax.cond dispatch — "
+        "PNDM's counter/ets history is an explicit PNDMState carry"
+    ),
+    "PNDMScheduler.step_plms": "see PNDMScheduler.step_prk",
+    # torch.FloatTensor staticmethod helpers on the reference Scheduler
+    # base are instance methods here operating on jnp arrays
+}
+
+
+def ref_public_methods(path: str, cls: str) -> dict[str, list[str]]:
+    """{method: [param names]} for public (non-underscore) methods."""
+    tree = ast.parse(open(os.path.join(REF, path)).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef) and node.name == cls:
+            out = {}
+            for item in node.body:
+                if isinstance(item, ast.FunctionDef) and not item.name.startswith("_"):
+                    a = item.args
+                    names = [p.arg for p in a.posonlyargs + a.args if p.arg != "self"]
+                    names += [p.arg for p in a.kwonlyargs]
+                    out[item.name] = names
+            return out
+    return {}
+
+
+def method_gaps(path: str, module: str, cls: str) -> list[str]:
+    """Human-readable method-parity defects for one class (empty = ok).
+
+    `forward` maps to `__call__`; methods/params listed in
+    METHOD_EXCEPTIONS are skipped with their documented reason.
+    """
+    try:
+        obj = getattr(importlib.import_module(module), cls)
+    except (ImportError, AttributeError):
+        return [f"{cls}: not importable from {module}"]
+    gaps = []
+    for name, params in ref_public_methods(path, cls).items():
+        if f"{cls}.{name}" in METHOD_EXCEPTIONS:
+            continue
+        ours = getattr(obj, name, None)
+        if ours is None and name == "forward":
+            ours = getattr(obj, "__call__", None)
+        if ours is None:
+            gaps.append(f"{cls}.{name} missing (ref params: {params})")
+            continue
+        try:
+            sig = inspect.signature(ours)
+        except (TypeError, ValueError):
+            continue
+        our_params = [p for p in sig.parameters if p not in ("self", "args", "kwargs")]
+        missing = [
+            p for p in params
+            if p not in our_params and f"{cls}.{name}.{p}" not in METHOD_EXCEPTIONS
+        ]
+        if missing:
+            gaps.append(f"{cls}.{name} missing params {missing} (ours: {our_params})")
+    return gaps
+
+
 def ref_init_params(path: str, cls: str) -> list[str] | None:
     """Parameter names of `cls.__init__` in a reference file, via ast."""
     tree = ast.parse(open(os.path.join(REF, path)).read())
@@ -184,13 +257,15 @@ def main() -> None:
             else:
                 missing = [p for p in ref if p not in ours]
                 extra = [p for p in ours if p not in ref]
+                mgaps = method_gaps(path, module, cls)
                 row = {
                     "class": cls,
                     "ref_file": path,
                     "missing": missing,
                     "extra_tpu_knobs": extra,
+                    "method_gaps": mgaps,
                 }
-                report["missing_total"] += len(missing)
+                report["missing_total"] += len(missing) + len(mgaps)
             report["classes"].append(row)
     print(json.dumps(report, indent=1))
     sys.exit(1 if report["missing_total"] else 0)
