@@ -428,3 +428,30 @@ class TestFullTrajectoryParity:
             x_j, _ = ours.reversed_step(mo_j, int(t), x_j)
             x_t, _ = theirs.reversed_step(mo_t, int(t), x_t)
         np.testing.assert_allclose(np.asarray(x_j), x_t.numpy(), rtol=5e-4, atol=1e-5)
+
+
+class TestTorchIdiomCompatArgs:
+    """1:1 ports of reference tutorials pass device= to set_timesteps and
+    generator= to step; both must be accepted (device ignored; a real
+    generator fails with the key= mapping)."""
+
+    def test_set_timesteps_accepts_device(self):
+        for cls in (DDPMScheduler, DDIMScheduler, PNDMScheduler):
+            s = cls(num_train_timesteps=100)
+            s.set_timesteps(10, device="cuda:0")
+            assert len(s.timesteps) >= 10 or cls is PNDMScheduler
+
+    def test_step_generator_none_ok_and_nonnone_raises(self):
+        import jax
+
+        s = DDIMScheduler(num_train_timesteps=100)
+        s.set_timesteps(10)
+        x = jnp.zeros((1, 1, 8, 8))
+        s.step(x, 90, x, generator=None)
+        with pytest.raises(ValueError, match="PRNGKey"):
+            s.step(x, 90, x, generator=object())
+        d = DDPMScheduler(num_train_timesteps=100)
+        d.set_timesteps(10)
+        d.step(x, 0, x, key=jax.random.PRNGKey(0), generator=None)
+        with pytest.raises(ValueError, match="PRNGKey"):
+            d.step(x, 0, x, key=jax.random.PRNGKey(0), generator=object())

@@ -140,3 +140,21 @@ class TestOrderingGoldenParity:
         np.testing.assert_array_equal(
             ours.get_sequence_ordering(), ref.get_sequence_ordering()
         )
+
+    @pytest.mark.parametrize("dims", [(4, 5, None), (2, 3, 4)])
+    def test_idx_helpers_match_reference(self, dims):
+        """raster_scan_idx / s_curve_idx / random_idx golden vs reference
+        (generative/utils/ordering.py:155,172,191)."""
+        ref_cls = type(self._ref_ordering(
+            ordering_type="raster_scan", spatial_dims=2, dimensions=(1, 2, 2)
+        ))
+        r, c, d = dims
+        np.testing.assert_array_equal(
+            Ordering.raster_scan_idx(r, c, d), ref_cls.raster_scan_idx(r, c, d)
+        )
+        np.testing.assert_array_equal(
+            Ordering.s_curve_idx(r, c, d), ref_cls.s_curve_idx(r, c, d)
+        )
+        ours = Ordering.random_idx(r, c, d)
+        ref = ref_cls.random_idx(r, c, d)
+        assert sorted(map(tuple, ours)) == sorted(map(tuple, ref))
