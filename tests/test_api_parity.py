@@ -40,7 +40,11 @@ def test_constructor_params_superset_of_reference(path, module, cls):
     assert ref is not None, f"{cls} not found in reference {path}"
     ours = api_parity_audit.our_init_params(module, cls)
     assert ours is not None, f"{cls} not importable from {module}"
-    missing = [p for p in ref if p not in ours]
+    missing = [
+        p for p in ref
+        if p not in ours
+        and f"{cls}.{p}" not in api_parity_audit.CONSTRUCTOR_EXCEPTIONS
+    ]
     assert not missing, (
         f"{cls}: reference __init__ params missing here: {missing} "
         f"(reference generative/{path})"
