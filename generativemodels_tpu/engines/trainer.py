@@ -32,6 +32,10 @@ class AdversarialTrainState(NamedTuple):
     d_model_state: Any
     d_opt_state: Any
     step: jnp.ndarray
+    # EMA of g_params (None unless the step was built with ema_decay);
+    # the generator average is what VQ-GAN/AEKL users deploy. Old
+    # checkpoints restore unchanged: None has no pytree leaves.
+    g_ema_params: Any = None
 
 
 def make_adversarial_train_step(
@@ -44,6 +48,7 @@ def make_adversarial_train_step(
     d_loss_fn: Callable,
     adv_weight: float = 1.0,
     donate: bool = True,
+    ema_decay: float | None = None,
 ):
     """Builds a fused jitted G+D train step.
 
@@ -56,6 +61,9 @@ def make_adversarial_train_step(
         d_loss_fn: `(real_logits, fake_logits) -> scalar` discriminator loss.
         adv_weight: weight of the adversarial term in the G loss.
         donate: donate the state argument (in-place buffer reuse on TPU).
+        ema_decay: if set, maintain an EMA of g_params in
+            `state.g_ema_params` (seed it with the initial g_params);
+            decay warms up as min(ema_decay, (1+step)/(10+step)).
 
     Returns:
         `step(state, inputs, targets, rng) -> (new_state, outputs)` where
@@ -95,6 +103,20 @@ def make_adversarial_train_step(
         d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt_state, state.d_params)
         new_d_params = optax.apply_updates(state.d_params, d_updates)
 
+        g_ema = state.g_ema_params
+        if ema_decay is not None:
+            if g_ema is None:
+                raise ValueError(
+                    "ema_decay is set but state.g_ema_params is None — seed "
+                    "it with the initial g_params"
+                )
+            t = state.step.astype(jnp.float32)
+            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+            g_ema = jax.tree_util.tree_map(
+                lambda e, q: e * d + q.astype(e.dtype) * (1.0 - d),
+                g_ema, new_g_params,
+            )
+
         new_state = AdversarialTrainState(
             g_params=new_g_params,
             g_model_state=new_g_state,
@@ -103,6 +125,7 @@ def make_adversarial_train_step(
             d_model_state=new_d_state,
             d_opt_state=new_d_opt,
             step=state.step + 1,
+            g_ema_params=g_ema,
         )
         outputs = {
             AdversarialKeys.REALS: inputs,
@@ -146,6 +169,7 @@ class AdversarialTrainer:
         adv_weight: float = 1.0,
         handlers: dict | None = None,
         rng: jax.Array | None = None,
+        ema_decay: float | None = None,
     ) -> None:
         self.data_loader = train_data_loader
         self.max_epochs = max_epochs
@@ -164,7 +188,15 @@ class AdversarialTrainer:
             g_loss_function,
             d_loss_function,
             adv_weight=adv_weight,
+            ema_decay=ema_decay,
         )
+        if ema_decay is not None and initial_state.g_ema_params is None:
+            # seed the average from the initial generator params
+            self.state = initial_state._replace(
+                g_ema_params=jax.tree_util.tree_map(
+                    jnp.array, initial_state.g_params
+                )
+            )
 
     def _fire(self, event, outputs):
         cb = self.handlers.get(event)

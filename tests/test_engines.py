@@ -239,3 +239,71 @@ class TestVQGANStep:
         cb_moved = jax.tree_util.tree_map(
             lambda a, b: bool((a != b).any()), state.codebook, new_state.codebook)
         assert any(jax.tree_util.tree_leaves(cb_moved))
+
+
+class TestGeneratorEMA:
+    """ema_decay on the fused G+D step maintains an EMA of g_params
+    (beyond reference — standard VQ-GAN deployment practice)."""
+
+    def test_g_ema_tracks_and_lags(self):
+        import optax
+        from generativemodels_tpu.engines.trainer import (
+            AdversarialTrainState,
+            make_adversarial_train_step,
+        )
+
+        g_fwd = lambda p, ms, x, rng: (x * p["w"], ms)
+        d_fwd = lambda p, ms, x: (x * p["w"], ms)
+        g_tx, d_tx = optax.adam(1e-2), optax.adam(1e-2)
+        g_params = {"w": jnp.ones(())}
+        d_params = {"w": jnp.ones(())}
+        step = make_adversarial_train_step(
+            g_fwd, d_fwd, g_tx, d_tx,
+            recon_loss_fn=lambda f, t: jnp.mean((f - t) ** 2),
+            g_loss_fn=lambda lg: -jnp.mean(lg),
+            d_loss_fn=lambda rl, fl: jnp.mean(fl) - jnp.mean(rl),
+            donate=False, ema_decay=0.9,
+        )
+        state = AdversarialTrainState(
+            g_params=g_params, g_model_state={}, g_opt_state=g_tx.init(g_params),
+            d_params=d_params, d_model_state={}, d_opt_state=d_tx.init(d_params),
+            step=jnp.asarray(0),
+            g_ema_params=jax.tree_util.tree_map(jnp.array, g_params),
+        )
+        x = jnp.ones((4, 3))
+        expected = g_params["w"]
+        for s in range(3):
+            state, out = step(state, x, x, jax.random.PRNGKey(s))
+            d = min(0.9, (1.0 + s) / (10.0 + s))
+            expected = expected * d + state.g_params["w"] * (1 - d)
+        np.testing.assert_allclose(
+            np.asarray(state.g_ema_params["w"]), np.asarray(expected), rtol=1e-6
+        )
+        assert float(jnp.abs(state.g_ema_params["w"] - state.g_params["w"])) > 0
+
+    def test_default_keeps_none(self):
+        import optax
+        from generativemodels_tpu.engines.trainer import (
+            AdversarialTrainState,
+            make_adversarial_train_step,
+        )
+
+        g_tx, d_tx = optax.sgd(1e-2), optax.sgd(1e-2)
+        g_params = {"w": jnp.ones(())}
+        step = make_adversarial_train_step(
+            (lambda p, ms, x, rng: (x * p["w"], ms)),
+            (lambda p, ms, x: (x * p["w"], ms)),
+            g_tx, d_tx,
+            recon_loss_fn=lambda f, t: jnp.mean((f - t) ** 2),
+            g_loss_fn=lambda lg: -jnp.mean(lg),
+            d_loss_fn=lambda rl, fl: jnp.mean(fl) - jnp.mean(rl),
+            donate=False,
+        )
+        state = AdversarialTrainState(
+            g_params=g_params, g_model_state={}, g_opt_state=g_tx.init(g_params),
+            d_params=g_params, d_model_state={}, d_opt_state=d_tx.init(g_params),
+            step=jnp.asarray(0),
+        )
+        x = jnp.ones((2, 2))
+        state, _ = step(state, x, x, jax.random.PRNGKey(0))
+        assert state.g_ema_params is None
