@@ -128,9 +128,16 @@ class ControlNetLatentDiffusionInferer(LatentDiffusionInferer):
 
     @staticmethod
     def _fit_cn_cond(cn_cond: jnp.ndarray, latent_like: jnp.ndarray) -> jnp.ndarray:
-        if cn_cond.shape[2:] != latent_like.shape[2:]:
-            out_shape = cn_cond.shape[:2] + latent_like.shape[2:]
-            cn_cond = jax.image.resize(cn_cond, out_shape, method="nearest")
+        # torch F.interpolate(mode="nearest") convention (src = floor(dst *
+        # in/out)) — the reference downscales cn_cond to the latent shape
+        # this way (inferer.py:926-927) and jax.image.resize picks different
+        # source pixels when downscaling
+        for axis, out_s in enumerate(latent_like.shape[2:], start=2):
+            in_s = cn_cond.shape[axis]
+            if in_s == out_s:
+                continue
+            idx = jnp.floor(jnp.arange(out_s) * (in_s / out_s)).astype(jnp.int32)
+            cn_cond = jnp.take(cn_cond, idx, axis=axis)
         return cn_cond
 
     def __call__(

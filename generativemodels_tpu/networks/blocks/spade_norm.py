@@ -35,9 +35,21 @@ def group_norm(x: jnp.ndarray, num_groups: int, eps: float = 1e-6) -> jnp.ndarra
 
 
 def resize_nearest(x: jnp.ndarray, spatial_shape: tuple[int, ...]) -> jnp.ndarray:
-    """Nearest-neighbour resize of (B, *spatial, C) to a new spatial shape."""
-    out_shape = (x.shape[0],) + tuple(spatial_shape) + (x.shape[-1],)
-    return jax.image.resize(x, out_shape, method="nearest")
+    """Nearest-neighbour resize of (B, *spatial, C) to a new spatial shape.
+
+    Uses torch's F.interpolate(mode="nearest") index convention
+    src = floor(dst * in/out) — NOT jax.image.resize's half-offset
+    rounding, which picks different source pixels when downscaling (the
+    SPADE towers downscale the seg map to every interior resolution, so
+    the convention is parity-load-bearing; reference spade_norm.py:92).
+    """
+    for axis, out_s in enumerate(spatial_shape, start=1):
+        in_s = x.shape[axis]
+        if in_s == out_s:
+            continue
+        idx = jnp.floor(jnp.arange(out_s) * (in_s / out_s)).astype(jnp.int32)
+        x = jnp.take(x, idx, axis=axis)
+    return x
 
 
 class SPADE(nn.Module):
@@ -64,11 +76,29 @@ class SPADE(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray) -> jnp.ndarray:
         kind = str(self.norm).upper()
+        params = self.norm_params or {}
         if kind == "GROUP":
-            params = self.norm_params or {}
-            normalized = group_norm(x, params.get("num_groups", 32), self.norm_eps)
+            # Mirror the reference norm factory exactly: `norm_params` feeds
+            # torch.nn.GroupNorm, whose defaults are eps=1e-5, affine=True
+            # (SPADEDiffusionModelUNet passes affine=True + eps=norm_eps,
+            # spade_diffusion_model_unet.py:114; SPADEAutoencoderKL passes
+            # affine=False and NO eps, spade_autoencoderkl.py:76).
+            eps = params.get("eps", self.norm_eps)
+            if params.get("affine", True):
+                normalized = nn.GroupNorm(
+                    num_groups=params.get("num_groups", 32), epsilon=eps,
+                    dtype=self.dtype, name="param_free_norm",
+                )(x)
+            else:
+                normalized = group_norm(x, params.get("num_groups", 32), eps)
         elif kind == "INSTANCE":
-            normalized = instance_norm(x, self.norm_eps)
+            if params.get("affine", False):
+                raise ValueError(
+                    "affine INSTANCE SPADE base norm is not supported "
+                    "(the reference never constructs it; torch InstanceNorm "
+                    "defaults to affine=False)"
+                )
+            normalized = instance_norm(x, params.get("eps", self.norm_eps))
         else:
             raise ValueError(f"Unsupported SPADE base norm: {self.norm}")
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..blocks.attention_blocks import AttentionBlock
 from ..blocks.convolutions import ConvND, upsample_nearest
 from ..blocks.spade_norm import SPADE
-from .autoencoderkl import AEKLEncoder
+from .autoencoderkl import AEKLEncoder, _Upsample
 from .diffusion_model_unet import ensure_tuple_rep
 
 __all__ = ["SPADEAutoencoderKL", "SPADEAEKLDecoder", "SPADEAEKLResBlock"]
@@ -41,8 +41,10 @@ class SPADEAEKLResBlock(nn.Module):
             label_nc=self.label_nc,
             norm_nc=nc,
             norm="GROUP",
-            norm_params={"num_groups": self.norm_num_groups},
-            norm_eps=self.norm_eps,
+            # reference spade_autoencoderkl.py:72-98: affine=False and NO eps
+            # in norm_params — the SPADE base GroupNorm runs at the torch
+            # default eps=1e-5 even though the net's norm_eps is 1e-6
+            norm_params={"num_groups": self.norm_num_groups, "affine": False},
             hidden_channels=self.spade_intermediate_channels,
             kernel_size=3,
             spatial_dims=self.spatial_dims,
@@ -127,9 +129,11 @@ class SPADEAEKLDecoder(nn.Module):
                         name=f"attn_{i}_{j}",
                     )(h)
             if i != len(reversed_channels) - 1:
-                h = ConvND(
-                    self.spatial_dims, block_in_ch, kernel_size=3, padding=1,
-                    dtype=self.dtype, nearest_upsample=True, name=f"up_{i}",
+                # same module layout as the plain AEKL decoder (up_{i}.conv)
+                # so reference checkpoints map identically in zoo_convert
+                h = _Upsample(
+                    self.spatial_dims, block_in_ch, use_convtranspose=False,
+                    dtype=self.dtype, name=f"up_{i}",
                 )(h)
 
         h = nn.GroupNorm(

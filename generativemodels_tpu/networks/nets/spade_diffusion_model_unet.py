@@ -51,8 +51,14 @@ class SPADEResnetBlock(nn.Module):
             label_nc=self.label_nc,
             norm_nc=nc,
             norm="GROUP",
-            norm_params={"num_groups": self.norm_num_groups},
-            norm_eps=self.norm_eps,
+            # reference spade_diffusion_model_unet.py:110-118: the SPADE base
+            # GroupNorm here is AFFINE (learnable weight/bias), with eps from
+            # the net's norm_eps
+            norm_params={
+                "num_groups": self.norm_num_groups,
+                "eps": self.norm_eps,
+                "affine": True,
+            },
             hidden_channels=self.spade_intermediate_channels,
             kernel_size=3,
             spatial_dims=self.spatial_dims,

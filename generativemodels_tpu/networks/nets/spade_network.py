@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..blocks.convolutions import ConvND, upsample_nearest
-from ..blocks.spade_norm import SPADE, instance_norm
+from ..blocks.spade_norm import SPADE, instance_norm, resize_nearest
 
 __all__ = ["SPADENet", "SPADENetEncoder", "SPADENetDecoder", "SPADENetResNetBlock", "kld_loss"]
 
@@ -178,11 +178,9 @@ class SPADENetDecoder(nn.Module):
         seg_cl = jnp.transpose(seg, perm)
 
         if self.is_gan:
-            small = jax.image.resize(
-                seg_cl,
-                (seg_cl.shape[0], *latent_spatial, seg_cl.shape[-1]),
-                method="nearest",
-            )
+            # torch-convention nearest downscale (reference :307 uses
+            # F.interpolate's default mode="nearest")
+            small = resize_nearest(seg_cl, tuple(latent_spatial))
             x = nn.Dense(num_channels[0], name="fc")(small)
         else:
             x = nn.Dense(

@@ -42,6 +42,9 @@ __all__ = [
     "convert_vqvae",
     "convert_controlnet",
     "convert_transformer",
+    "convert_spade_diffusion_model_unet",
+    "convert_spade_autoencoderkl",
+    "convert_spade_network",
     "load_reference_checkpoint",
 ]
 
@@ -205,6 +208,10 @@ _UNET_SEGMENT_REWRITES = {
     "out_0": "out.0",   # DiffusionModelEncoder head
     "out_3": "out.3",
     "to_out": "to_out.0",
+    # SPADE base norm: flax nn.GroupNorm child "param_free_norm" <-> the
+    # reference's ADN(ordering="N") wrapper (spade_norm.py:50-52), whose
+    # single child is named by its ordering letter
+    "param_free_norm": "param_free_norm.N",
 }
 
 
@@ -261,6 +268,19 @@ def _translate_controlnet(dirs: tuple[str, ...]) -> str:
 
 def convert_controlnet(state_dict: dict, params_struct: dict) -> dict:
     return convert_state_dict(state_dict, _translate_controlnet, params_struct)
+
+
+def convert_spade_diffusion_model_unet(state_dict: dict, params_struct: dict) -> dict:
+    """Reference SPADEDiffusionModelUNet state_dict -> flax params tree.
+
+    The SPADE UNet shares the plain UNet's module naming end to end
+    (spade_diffusion_model_unet.py:716-834 mirrors
+    diffusion_model_unet.py:1771-1867); the only new leaves are the SPADE
+    norms inside the up-path resnets (norm1/norm2 -> mlp_shared/mlp_gamma/
+    mlp_beta Convolutions + the affine param_free_norm GroupNorm), all
+    covered by the shared segment rewrites.
+    """
+    return convert_state_dict(state_dict, _translate_unet, params_struct)
 
 
 # ---------------------------------------------------------------------------
@@ -366,6 +386,99 @@ def convert_autoencoderkl(
     return convert_state_dict(
         state_dict, translate, params_struct, tconv_paths=tconv_paths
     )
+
+
+def convert_spade_autoencoderkl(
+    state_dict: dict,
+    params_struct: dict,
+    num_channels: Sequence[int],
+    num_res_blocks: Sequence[int] | int,
+    attention_levels: Sequence[bool],
+    with_encoder_nonlocal_attn: bool = True,
+    with_decoder_nonlocal_attn: bool = True,
+) -> dict:
+    """Reference SPADEAutoencoderKL state_dict -> flax params tree.
+
+    The encoder is the plain AEKL encoder and the decoder keeps the plain
+    decoder's flat `decoder.blocks.{i}` append order
+    (spade_autoencoderkl.py:188-289), with SPADE res blocks whose inner
+    names (norm1/norm2 SPADE towers, conv1/conv2, nin_shortcut) the shared
+    segment rewrites already cover; the SPADE base GroupNorm here is
+    affine=False (:76) so it contributes no parameters.
+    """
+    return convert_autoencoderkl(
+        state_dict,
+        params_struct,
+        num_channels=num_channels,
+        num_res_blocks=num_res_blocks,
+        attention_levels=attention_levels,
+        with_encoder_nonlocal_attn=with_encoder_nonlocal_attn,
+        with_decoder_nonlocal_attn=with_decoder_nonlocal_attn,
+        use_convtranspose=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPADENet translator (VAE-GAN; flat encoder/decoder blocks + fc heads)
+# ---------------------------------------------------------------------------
+
+def convert_spade_network(
+    state_dict: dict,
+    params_struct: dict,
+    num_channels: Sequence[int],
+    input_shape: Sequence[int],
+) -> dict:
+    """Reference SPADENet (VAE mode) state_dict -> flax params tree.
+
+    Naming (spade_network.py:133-320): encoder.blocks.{i} strided
+    Convolutions + encoder.fc_mu/fc_var, decoder.fc, decoder.blocks.{i}
+    SPADE ResNet blocks (norm_0/norm_1/norm_s, conv_0/conv_1/conv_s) and
+    decoder.last_conv.
+
+    The fc heads need an index permutation, not just a transpose: torch
+    flattens the latent feature map channels-first (C, *sp) while the
+    channels-last flax net flattens (*sp, C), so fc_mu/fc_var columns and
+    decoder.fc rows/bias are re-rayed here before the generic conversion.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    n_levels = len(tuple(num_channels))
+    latent_sp = tuple(int(s) // (2**n_levels) for s in input_shape)
+    c_latent = int(tuple(num_channels)[-1])
+    prod_sp = 1
+    for s in latent_sp:
+        prod_sp *= s
+
+    for key in ("encoder.fc_mu.weight", "encoder.fc_var.weight"):
+        if key in sd:
+            w = sd[key]  # (z, C * prod_sp), inputs raveled (C, *sp)
+            z = w.shape[0]
+            w = w.reshape(z, c_latent, prod_sp)
+            sd[key] = np.ascontiguousarray(
+                np.moveaxis(w, 1, -1).reshape(z, prod_sp * c_latent)
+            )
+    if "decoder.fc.weight" in sd:
+        w = sd["decoder.fc.weight"]  # (C * prod_sp, z), outputs raveled (C, *sp)
+        z = w.shape[1]
+        sd["decoder.fc.weight"] = np.ascontiguousarray(
+            np.moveaxis(w.reshape(c_latent, prod_sp, z), 0, 1).reshape(
+                prod_sp * c_latent, z
+            )
+        )
+        b = sd["decoder.fc.bias"]
+        sd["decoder.fc.bias"] = np.ascontiguousarray(
+            np.moveaxis(b.reshape(c_latent, prod_sp), 0, 1).reshape(-1)
+        )
+
+    def translate(dirs: tuple[str, ...]) -> str:
+        parts = []
+        for p in dirs:
+            if p.startswith("block_") and p[6:].isdigit():
+                parts.append(f"blocks.{p[6:]}")
+            else:
+                parts.append(_UNET_SEGMENT_REWRITES.get(p, p))
+        return ".".join(parts)
+
+    return convert_state_dict(state_dict=sd, translate=translate, params_struct=params_struct)
 
 
 # ---------------------------------------------------------------------------
@@ -521,6 +634,31 @@ def _default_example_args(model):
         if model.with_cross_attention:
             args.append(jnp.zeros((1, 4, model.attn_layers_dim)))
         return tuple(args), {}
+    if name == "SPADEDiffusionModelUNet":
+        n_levels = len(tuple(model.num_channels))
+        size = 2 ** max(n_levels, 2)
+        sp = (size,) * model.spatial_dims
+        x = jnp.zeros((1, model.in_channels, *sp))
+        t = jnp.zeros((1,), jnp.int32)
+        seg = jnp.zeros((1, model.label_nc, *sp))
+        kwargs = {}
+        if getattr(model, "with_conditioning", False):
+            kwargs["context"] = jnp.zeros((1, 4, model.cross_attention_dim))
+        if getattr(model, "num_class_embeds", None):
+            kwargs["class_labels"] = jnp.zeros((1,), jnp.int32)
+        return (x, t, seg), kwargs
+    if name == "SPADEAutoencoderKL":
+        n_levels = len(tuple(model.num_channels))
+        size = 2 ** max(n_levels + 1, 3)
+        sp = (size,) * model.spatial_dims
+        x = jnp.zeros((1, model.in_channels, *sp))
+        seg = jnp.zeros((1, model.label_nc, *sp))
+        return (x, seg), {}
+    if name == "SPADENet":
+        sp = tuple(model.input_shape)
+        seg = jnp.zeros((1, model.label_nc, *sp))
+        x = jnp.zeros((1, model.in_channels, *sp))
+        return ((seg, x) if model.is_vae else (seg,)), {}
     raise NotImplementedError(f"no converter wired for {name}")
 
 
@@ -591,4 +729,27 @@ def load_reference_checkpoint(checkpoint, model, example_args=None):
         return {"params": params, "codebook": codebook}
     if name == "DecoderOnlyTransformer":
         return {"params": convert_transformer(sd, struct)}
+    if name == "SPADEDiffusionModelUNet":
+        return {"params": convert_spade_diffusion_model_unet(sd, struct)}
+    if name == "SPADEAutoencoderKL":
+        return {
+            "params": convert_spade_autoencoderkl(
+                sd,
+                struct,
+                num_channels=tuple(model.num_channels),
+                num_res_blocks=model.num_res_blocks,
+                attention_levels=tuple(model.attention_levels),
+                with_encoder_nonlocal_attn=model.with_encoder_nonlocal_attn,
+                with_decoder_nonlocal_attn=model.with_decoder_nonlocal_attn,
+            )
+        }
+    if name == "SPADENet":
+        return {
+            "params": convert_spade_network(
+                sd,
+                struct,
+                num_channels=tuple(model.num_channels),
+                input_shape=tuple(model.input_shape),
+            )
+        }
     raise NotImplementedError(f"no converter wired for {name}")

@@ -51,6 +51,40 @@ class TestSpatialRescaler:
         v = r.init(jax.random.PRNGKey(0), x)
         assert r.apply(v, x).shape == (1, 1, 4, 4, 4)
 
+    @pytest.mark.parametrize("method", ["nearest", "bilinear", "bicubic", "area"])
+    @pytest.mark.parametrize("mult", [0.5, 0.4, 2.0])
+    def test_golden_vs_torch_interpolate(self, method, mult):
+        """torch F.interpolate semantics bit-for-bit: nearest's floor index
+        convention, linear/cubic WITHOUT antialias, area = adaptive avg
+        pool (reference encoder_modules.py:60 builds exactly this
+        partial)."""
+        torch = pytest.importorskip("torch")
+
+        rs = np.random.RandomState(3)
+        x = rs.randn(2, 3, 16, 16).astype(np.float32)
+        r = SpatialRescaler(spatial_dims=2, n_stages=1, multiplier=mult, method=method)
+        v = r.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out = np.asarray(r.apply(v, jnp.asarray(x)))
+        with torch.no_grad():
+            ref = torch.nn.functional.interpolate(
+                torch.from_numpy(x), mode=method, scale_factor=mult
+            ).numpy()
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5, err_msg=method)
+
+    def test_golden_vs_torch_interpolate_3d_nearest(self):
+        torch = pytest.importorskip("torch")
+
+        rs = np.random.RandomState(4)
+        x = rs.randn(1, 2, 8, 8, 8).astype(np.float32)
+        r = SpatialRescaler(spatial_dims=3, n_stages=1, multiplier=0.5, method="nearest")
+        v = r.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out = np.asarray(r.apply(v, jnp.asarray(x)))
+        with torch.no_grad():
+            ref = torch.nn.functional.interpolate(
+                torch.from_numpy(x), mode="nearest", scale_factor=0.5
+            ).numpy()
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
 
 class TestSPADENorm:
     @pytest.mark.parametrize("norm", ["INSTANCE", "GROUP"])
