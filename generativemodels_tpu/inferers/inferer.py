@@ -157,9 +157,14 @@ class DiffusionInferer:
         verbose: bool = False,
         seg: jnp.ndarray | None = None,
         key: jax.Array | None = None,
+        noise: jnp.ndarray | None = None,
     ):
         """Per-image ELBO: sum over t of KL(q(x_{t-1}|x_t,x_0) || p(x_{t-1}|x_t)),
         with a discretised Gaussian decoder NLL at t=0.
+
+        `noise` overrides the internally drawn corruption noise (the
+        reference draws it once per call, inferer.py:190 — injecting the
+        same array makes the two frameworks bit-comparable).
         """
         scheduler = scheduler or self.scheduler
         if not isinstance(scheduler, DDPMScheduler):
@@ -168,10 +173,10 @@ class DiffusionInferer:
             )
         if mode not in ("crossattn", "concat"):
             raise NotImplementedError(f"{mode} condition is not supported")
-        if key is None:
-            key = jax.random.PRNGKey(0)
-
-        noise = jax.random.normal(key, inputs.shape, dtype=inputs.dtype)
+        if noise is None:
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            noise = jax.random.normal(key, inputs.shape, dtype=inputs.dtype)
         timesteps = jnp.asarray(scheduler.timesteps)
 
         def step_kl(t):

@@ -402,3 +402,74 @@ def load_reference_nets():
         return ns
     except Exception:
         return None
+
+
+def load_reference_inferers():
+    """Returns the reference `generative.inferers.inferer` module, or None.
+
+    Extends the nets loader with the three monai pieces inferer.py imports
+    (inferer.py:21-23): `decollate_batch` (unbind over batch),
+    `Inferer` (abstract base), and functional `CenterSpatialCrop` /
+    `SpatialPad` (the latent-shape resizers, applied per-sample on
+    (C, *spatial) tensors)."""
+    ns = load_reference_nets()
+    if ns is None:
+        return None
+    try:
+        import torch
+
+        nets_pkg = sys.modules["generative.networks.nets"]
+        nets_pkg.VQVAE = ns.VQVAE
+        nets_pkg.SPADEAutoencoderKL = ns.SPADEAutoencoderKL
+        nets_pkg.SPADEDiffusionModelUNet = ns.SPADEDiffusionModelUNet
+
+        monai_data = _ensure_module("monai.data")
+        monai_data.decollate_batch = lambda x: list(torch.unbind(x, 0))
+
+        monai_inferers = _ensure_module("monai.inferers")
+
+        class Inferer:
+            def __call__(self, inputs, network, *args, **kwargs):
+                raise NotImplementedError
+
+        monai_inferers.Inferer = Inferer
+
+        monai_transforms = _ensure_module("monai.transforms")
+
+        class CenterSpatialCrop:
+            def __init__(self, roi_size):
+                self.roi_size = list(roi_size)
+
+            def __call__(self, t):
+                # t is (C, *spatial); roi entries of -1 keep the dim
+                slices = [slice(None)]
+                for size, roi in zip(t.shape[1:], self.roi_size):
+                    if roi == -1 or roi >= size:
+                        slices.append(slice(None))
+                    else:
+                        start = (size - roi) // 2
+                        slices.append(slice(start, start + roi))
+                return t[tuple(slices)]
+
+        class SpatialPad:
+            def __init__(self, spatial_size):
+                self.spatial_size = list(spatial_size)
+
+            def __call__(self, t):
+                # symmetric center pad of (C, *spatial) up to spatial_size
+                pads = []  # torch.nn.functional.pad order: last dim first
+                for size, target in zip(
+                    reversed(t.shape[1:]), reversed(self.spatial_size)
+                ):
+                    extra = max(int(target) - size, 0) if target != -1 else 0
+                    pads.extend([extra // 2, extra - extra // 2])
+                return torch.nn.functional.pad(t, pads)
+
+        monai_transforms.CenterSpatialCrop = CenterSpatialCrop
+        monai_transforms.SpatialPad = SpatialPad
+
+        import generative.inferers.inferer as ref_inf
+
+        return ref_inf
+    except Exception:
+        return None
