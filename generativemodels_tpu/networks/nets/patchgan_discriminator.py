@@ -195,12 +195,16 @@ class MultiScalePatchDiscriminator(nn.Module):
                 )
             inp = x
             if self.pooling_method is not None and i > 0:
-                # pool i times in channels-last then back
+                # pool i times in channels-last then back — torch-pool
+                # convention (patchgan_discriminator.py:89-91): window =
+                # kernel_size, stride 2, zero pad (k-1)//2 on both sides,
+                # count_include_pad=True (zeros participate in the mean)
                 perm = (0,) + tuple(range(2, 2 + self.spatial_dims)) + (1,)
                 inv_perm = (0, self.spatial_dims + 1) + tuple(range(1, self.spatial_dims + 1))
                 h = jnp.transpose(inp, perm)
+                pad = [(0, 0)] + [(padding, padding)] * self.spatial_dims + [(0, 0)]
                 for _ in range(i):
-                    h = avg_pool(h, 2)
+                    h = avg_pool(jnp.pad(h, pad), self.kernel_size, stride=2)
                 inp = jnp.transpose(h, inv_perm)
             outs = PatchDiscriminator(
                 spatial_dims=self.spatial_dims,

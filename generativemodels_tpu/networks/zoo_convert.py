@@ -37,7 +37,10 @@ import numpy as np
 __all__ = [
     "convert_state_dict",
     "params_structure",
+    "variables_structure",
     "convert_diffusion_model_unet",
+    "convert_diffusion_model_encoder",
+    "convert_patch_discriminator",
     "convert_autoencoderkl",
     "convert_vqvae",
     "convert_controlnet",
@@ -85,6 +88,19 @@ def params_structure(model, *example_args, method=None, rngs=None, **example_kwa
 
     variables = jax.eval_shape(init, *example_args, **example_kwargs)
     return variables["params"]  # ShapeDtypeStruct tree; only .shape is read
+
+
+def variables_structure(model, *example_args, method=None, rngs=None, **example_kwargs):
+    """Shape-only FULL variables tree (all collections) of `model.init`."""
+    if rngs is None:
+        rngs = {"params": jax.random.PRNGKey(0)}
+
+    def init(*a, **kw):
+        if method is not None:
+            return model.init(rngs, *a, method=method, **kw)
+        return model.init(rngs, *a, **kw)
+
+    return jax.eval_shape(init, *example_args, **example_kwargs)
 
 
 def _np(t) -> np.ndarray:
@@ -154,6 +170,11 @@ def convert_state_dict(
             w = fetch(prefix, "weight")
         elif leaf_name == "bias":
             w = fetch(prefix, "bias")
+        elif leaf_name == "mean":
+            # flax BatchNorm batch_stats <- torch running stats
+            w = fetch(prefix, "running_mean")
+        elif leaf_name == "var":
+            w = fetch(prefix, "running_var")
         elif leaf_name == "kernel":
             w = fetch(prefix, "weight")
             if w.ndim >= 3:
@@ -249,6 +270,41 @@ def convert_diffusion_model_unet(state_dict: dict, params_struct: dict) -> dict:
     return convert_state_dict(state_dict, _translate_unet, params_struct)
 
 
+def convert_diffusion_model_encoder(state_dict: dict, params_struct: dict) -> dict:
+    """Reference DiffusionModelEncoder state_dict -> flax params tree.
+
+    Shares the UNet down-path naming, but the classifier head's first
+    Linear (reference diffusion_model_unet.py:2072 `out.0`) consumes a
+    channels-FIRST flatten of the final (B, C, *spatial) feature map,
+    while the flax encoder flattens channels-LAST. The plain Linear
+    transpose therefore scrambles input-row order; fix it by permuting
+    the `out_0` kernel rows from (C, S) to (S, C) flatten order, where
+    C is the deepest down-level's output width (read off the params
+    structure) and S the flattened spatial size.
+    """
+    params = convert_state_dict(state_dict, _translate_unet, params_struct)
+    last_down = max(
+        (k for k in params if k.startswith("down_") and k[5:].isdigit()),
+        key=lambda k: int(k[5:]),
+    )
+    last_res = max(
+        (k for k in params[last_down] if k.startswith("resnet_")),
+        key=lambda k: int(k[7:]),
+    )
+    channels = params[last_down][last_res]["conv2"]["kernel"].shape[-1]
+    kernel = params["out_0"]["kernel"]  # rows currently in torch (C*S) order
+    rows, width = kernel.shape
+    if rows % channels:
+        raise ValueError(
+            f"out.0 rows {rows} not divisible by final feature width {channels}"
+        )
+    spatial = rows // channels
+    params["out_0"]["kernel"] = np.ascontiguousarray(
+        kernel.reshape(channels, spatial, width).transpose(1, 0, 2).reshape(rows, width)
+    )
+    return params
+
+
 def _translate_controlnet(dirs: tuple[str, ...]) -> str:
     """ControlNet shares the UNet down/mid naming plus
     controlnet_cond_embedding.{conv_in,blocks.{i},conv_out} and
@@ -268,6 +324,70 @@ def _translate_controlnet(dirs: tuple[str, ...]) -> str:
 
 def convert_controlnet(state_dict: dict, params_struct: dict) -> dict:
     return convert_state_dict(state_dict, _translate_controlnet, params_struct)
+
+
+def _translate_patchgan(dirs: tuple[str, ...]) -> str:
+    """Pix2PixHD discriminators: reference child names are `initial_conv`,
+    bare layer indices `{l}` (MONAI Convolution with ADN norm child
+    `adn.N`), and `final_conv`; MultiScale nests these under
+    `discriminator_{i}` (patchgan_discriminator.py:204-246,136)."""
+    parts = []
+    for p in dirs:
+        if p.startswith("layer_") and p[6:].isdigit():
+            parts.append(p[6:])
+        elif p.startswith("norm_") and p[5:].isdigit():
+            parts.append(f"{p[5:]}.adn.N")
+        elif p == "BatchNorm_0":
+            continue  # folded into the norm_{l} segment above
+        else:
+            parts.append(p)  # initial_conv / final_conv / discriminator_{i}
+    return ".".join(parts)
+
+
+def convert_patch_discriminator(
+    state_dict: dict,
+    params_struct: dict,
+    batch_stats_struct: dict | None = None,
+) -> tuple[dict, dict | None]:
+    """Reference PatchDiscriminator / MultiScalePatchDiscriminator
+    state_dict -> (flax params, flax batch_stats).
+
+    BatchNorm running statistics live in a separate flax collection;
+    convert both trees in one pass so the every-torch-key-consumed check
+    still holds across params AND batch_stats.
+
+    When the reference MultiScalePatchDiscriminator uses a pooling_method,
+    each pooled sub-discriminator is wrapped in nn.Sequential(*pools, PD)
+    (patchgan_discriminator.py:119-134), inserting a parameter-free index
+    segment: `discriminator_{i}.{i}.initial_conv...`. Strip it — it is
+    distinguishable from a bare layer index because a layer index is
+    always followed by `conv`/`adn`, never by another module name.
+    """
+    stripped = {}
+    for key, value in state_dict.items():
+        parts = key.split(".")
+        if (
+            len(parts) >= 3
+            and parts[0].startswith("discriminator_")
+            and parts[1].isdigit()
+            and (parts[2] in ("initial_conv", "final_conv") or parts[2].isdigit())
+        ):
+            parts.pop(1)
+        stripped[".".join(parts)] = value
+    state_dict = stripped
+
+    merged = dict(params_struct)
+    if batch_stats_struct:
+        flat = _flatten(params_struct)
+        flat.update(_flatten(batch_stats_struct))
+        merged = _unflatten(flat)
+    out = convert_state_dict(state_dict, _translate_patchgan, merged)
+    if not batch_stats_struct:
+        return out, None
+    flat_out = _flatten(out)
+    params = _unflatten({p: v for p, v in flat_out.items() if p in _flatten(params_struct)})
+    stats = _unflatten({p: v for p, v in flat_out.items() if p in _flatten(batch_stats_struct)})
+    return params, stats
 
 
 def convert_spade_diffusion_model_unet(state_dict: dict, params_struct: dict) -> dict:
@@ -629,6 +749,22 @@ def _default_example_args(model):
         size = 2 ** max(n_levels + 1, 3)
         sp = (size,) * model.spatial_dims
         return (jnp.zeros((1, model.in_channels, *sp)),), {}
+    if name == "PatchDiscriminator":
+        size = 2 ** (model.num_layers_d + 2)
+        sp = (size,) * model.spatial_dims
+        return (jnp.zeros((1, model.in_channels, *sp)),), {}
+    if name == "MultiScalePatchDiscriminator":
+        if isinstance(model.num_layers_d, int):
+            deepest = (
+                model.num_layers_d * model.num_d
+                if model.pooling_method is None
+                else model.num_layers_d + model.num_d - 1
+            )
+        else:
+            deepest = max(model.num_layers_d) + model.num_d - 1
+        size = 2 ** (deepest + 2)
+        sp = (size,) * model.spatial_dims
+        return (jnp.zeros((1, model.in_channels, *sp)),), {}
     if name == "DecoderOnlyTransformer":
         args = [jnp.zeros((1, model.max_seq_len), jnp.int32)]
         if model.with_cross_attention:
@@ -701,8 +837,19 @@ def load_reference_checkpoint(checkpoint, model, example_args=None):
     rngs = {"params": _jax.random.PRNGKey(0), "sampling": _jax.random.PRNGKey(0)}
     struct = params_structure(model, *args, rngs=rngs, **kwargs)
 
-    if name in ("DiffusionModelUNet", "DiffusionModelEncoder"):
+    if name == "DiffusionModelUNet":
         return {"params": convert_diffusion_model_unet(sd, struct)}
+    if name == "DiffusionModelEncoder":
+        return {"params": convert_diffusion_model_encoder(sd, struct)}
+    if name in ("PatchDiscriminator", "MultiScalePatchDiscriminator"):
+        variables = variables_structure(model, *args, rngs=rngs, **kwargs)
+        params, stats = convert_patch_discriminator(
+            sd, variables["params"], variables.get("batch_stats")
+        )
+        return {"params": params} if stats is None else {
+            "params": params,
+            "batch_stats": stats,
+        }
     if name == "ControlNet":
         return {"params": convert_controlnet(sd, struct)}
     if name == "AutoencoderKL":

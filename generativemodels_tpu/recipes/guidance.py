@@ -48,21 +48,36 @@ def sample_with_guidance(
         key = jax.random.PRNGKey(0)
     timesteps = jnp.asarray(scheduler.timesteps)
     is_ddpm = isinstance(scheduler, DDPMScheduler)
+    # stateful fast solvers (DPM-Solver++, PNDM) thread an explicit state
+    # pytree through the scan — guided CFG composes with them for free,
+    # e.g. 10-step DPM-Solver++ CFG sampling
+    is_stateful = hasattr(scheduler, "init_state")
 
-    def body(carry, t):
-        image, k = carry
-        k, sub = jax.random.split(k)
+    def guided_eval(image, t):
         doubled = jnp.concatenate([image, image], axis=0)
         tt = jnp.full((doubled.shape[0],), t)
         context = jnp.concatenate([conditioning, unconditioning], axis=0)
         pred = model_fn(doubled, tt, context)
         cond_pred, uncond_pred = jnp.split(pred, 2, axis=0)
-        guided = uncond_pred + guidance_scale * (cond_pred - uncond_pred)
+        return uncond_pred + guidance_scale * (cond_pred - uncond_pred)
+
+    def body(carry, t):
+        if is_stateful:
+            image, state = carry
+            image, state = scheduler.step(state, guided_eval(image, t), t, image)
+            return (image, state), None
+        image, k = carry
+        k, sub = jax.random.split(k)
+        guided = guided_eval(image, t)
         if is_ddpm:
             image, _ = scheduler.step(guided, t, image, key=sub)
         else:
             image, _ = scheduler.step(guided, t, image, eta=eta, key=sub if eta > 0 else None)
         return (image, k), None
 
-    (image, _), _ = jax.lax.scan(body, (input_noise, key), timesteps)
+    if is_stateful:
+        init = (input_noise, scheduler.init_state(input_noise.shape, input_noise.dtype))
+    else:
+        init = (input_noise, key)
+    (image, *_), _ = jax.lax.scan(body, init, timesteps)
     return image

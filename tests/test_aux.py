@@ -91,6 +91,34 @@ class TestRecipes:
         )
         assert bool(jnp.isfinite(img).all())
 
+    def test_guided_dpmsolver(self, class_cond_model):
+        # CFG composes with the stateful fast solver; at guidance_scale=1
+        # the guided sampler must equal plain conditional DPM sampling
+        from generativemodels_tpu.inferers import DiffusionInferer
+        from generativemodels_tpu.networks.schedulers import DPMSolverMultistepScheduler
+
+        scheduler = DPMSolverMultistepScheduler(num_train_timesteps=100)
+        scheduler.set_timesteps(5)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 16, 16))
+        cond = jnp.ones((2, 1, 4))
+        img = sample_with_guidance(
+            class_cond_model, scheduler, noise,
+            conditioning=cond, unconditioning=jnp.zeros((2, 1, 4)),
+            guidance_scale=3.0,
+        )
+        assert img.shape == noise.shape
+        assert bool(jnp.isfinite(img).all())
+
+        img_g1 = sample_with_guidance(
+            class_cond_model, scheduler, noise,
+            conditioning=cond, unconditioning=jnp.zeros((2, 1, 4)),
+            guidance_scale=1.0,
+        )
+        plain = DiffusionInferer(scheduler).sample(
+            noise, class_cond_model, conditioning=cond, mode="crossattn"
+        )
+        assert jnp.allclose(img_g1, plain, atol=1e-5)
+
     def test_inpaint_preserves_known_region_structure(self):
         model = DiffusionModelUNet(
             spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,

@@ -682,3 +682,182 @@ class TestSPADEFamilyParity:
         with torch.no_grad():
             img_t = ref.decode(torch.from_numpy(seg), torch.from_numpy(z))
         assert_close(img_f, img_t, "SPADENet decode")
+
+
+class TestDiffusionModelEncoderParity:
+    """DiffusionModelEncoder head consumes a channels-first flatten in torch
+    (diffusion_model_unet.py:2113 reshape of (B, C, *sp)); the converter must
+    permute the out.0 Linear rows into flax's channels-last flatten order."""
+
+    def _run(self, cfg, spatial_size):
+        ref = ref_nets.DiffusionModelEncoder(**cfg)
+        ref.eval()
+        randomize(ref)
+        from generativemodels_tpu.networks.nets import DiffusionModelEncoder
+
+        model = DiffusionModelEncoder(**cfg)
+        sp = (spatial_size,) * cfg["spatial_dims"]
+        rs = np.random.RandomState(3)
+        x = rs.randn(2, cfg["in_channels"], *sp).astype(np.float32)
+        t = np.array([5, 900])
+        struct = zc.params_structure(
+            model, jnp.zeros_like(jnp.asarray(x)), jnp.zeros((2,), jnp.int32)
+        )
+        params = zc.convert_diffusion_model_encoder(ref.state_dict(), struct)
+        out_flax = model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t))
+        with torch.no_grad():
+            out_ref = ref(torch.from_numpy(x), torch.from_numpy(t))
+        assert_close(out_flax, out_ref)
+
+    def test_2d(self):
+        # reference hard-codes nn.Linear(4096, 512): 16ch * (64/2/2)^2 = 4096
+        self._run(
+            dict(
+                spatial_dims=2, in_channels=1, out_channels=3,
+                num_res_blocks=(1, 1), num_channels=(8, 16),
+                attention_levels=(False, False), norm_num_groups=8,
+            ),
+            spatial_size=64,
+        )
+
+    def test_2d_attention(self):
+        self._run(
+            dict(
+                spatial_dims=2, in_channels=1, out_channels=2,
+                num_res_blocks=(1, 1), num_channels=(8, 16),
+                attention_levels=(False, True), num_head_channels=(8, 16),
+                norm_num_groups=8,
+            ),
+            spatial_size=64,
+        )
+
+    def test_3d(self):
+        # 8ch * (32/2/2)^3 = 4096
+        self._run(
+            dict(
+                spatial_dims=3, in_channels=1, out_channels=2,
+                num_res_blocks=(1, 1), num_channels=(8, 8),
+                attention_levels=(False, False), norm_num_groups=8,
+            ),
+            spatial_size=32,
+        )
+
+
+def randomize_bn_stats(module, seed=11):
+    """Give BatchNorm running stats non-trivial values so the golden actually
+    exercises the batch_stats conversion (fresh stats are mean 0 / var 1)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in module.modules():
+            if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) * 0.5 + 0.5)
+
+
+class TestPatchDiscriminatorParity:
+    """PatchDiscriminator / MultiScalePatchDiscriminator vs reference
+    patchgan_discriminator.py:158/:23 — every intermediate feature plus the
+    prediction, including BatchNorm running-stat conversion and the pooled
+    multi-scale torch AvgPool convention."""
+
+    def _convert(self, ref, model, x):
+        variables = zc.variables_structure(model, jnp.zeros_like(jnp.asarray(x)))
+        params, stats = zc.convert_patch_discriminator(
+            ref.state_dict(), variables["params"], variables.get("batch_stats")
+        )
+        v = {"params": params}
+        if stats is not None:
+            v["batch_stats"] = stats
+        return v
+
+    def test_2d_batchnorm(self):
+        from generativemodels_tpu.networks.nets import PatchDiscriminator
+
+        cfg = dict(
+            spatial_dims=2, num_channels=8, in_channels=1, out_channels=1,
+            num_layers_d=3, kernel_size=4,
+            activation=("LEAKYRELU", {"negative_slope": 0.2}),
+            norm="BATCH", bias=False, padding=1,
+        )
+        ref = ref_nets.PatchDiscriminator(**cfg)
+        ref.eval()
+        randomize(ref)
+        randomize_bn_stats(ref)
+        model = PatchDiscriminator(**cfg)
+        x = np.random.RandomState(5).randn(2, 1, 64, 64).astype(np.float32)
+        v = self._convert(ref, model, x)
+        outs_flax = model.apply(v, jnp.asarray(x))
+        with torch.no_grad():
+            outs_ref = ref(torch.from_numpy(x))
+        assert len(outs_flax) == len(outs_ref)
+        for i, (a, b) in enumerate(zip(outs_flax, outs_ref)):
+            assert_close(a, b, f"feature {i}")
+
+    def test_3d(self):
+        from generativemodels_tpu.networks.nets import PatchDiscriminator
+
+        cfg = dict(
+            spatial_dims=3, num_channels=4, in_channels=1, out_channels=1,
+            num_layers_d=2, kernel_size=4,
+            activation=("LEAKYRELU", {"negative_slope": 0.2}),
+            norm="BATCH", bias=False, padding=1,
+        )
+        ref = ref_nets.PatchDiscriminator(**cfg)
+        ref.eval()
+        randomize(ref)
+        randomize_bn_stats(ref)
+        model = PatchDiscriminator(**cfg)
+        x = np.random.RandomState(6).randn(1, 1, 32, 32, 32).astype(np.float32)
+        v = self._convert(ref, model, x)
+        outs_flax = model.apply(v, jnp.asarray(x))
+        with torch.no_grad():
+            outs_ref = ref(torch.from_numpy(x))
+        for i, (a, b) in enumerate(zip(outs_flax, outs_ref)):
+            assert_close(a, b, f"feature {i}")
+
+    def _run_multiscale(self, cfg, size):
+        from generativemodels_tpu.networks.nets import MultiScalePatchDiscriminator
+
+        ref = ref_nets.MultiScalePatchDiscriminator(**cfg)
+        ref.eval()
+        randomize(ref)
+        randomize_bn_stats(ref)
+        model = MultiScalePatchDiscriminator(**cfg)
+        x = np.random.RandomState(7).randn(2, 1, size, size).astype(np.float32)
+        v = self._convert(ref, model, x)
+        outs_flax, feats_flax = model.apply(v, jnp.asarray(x))
+        with torch.no_grad():
+            outs_ref, feats_ref = ref(torch.from_numpy(x))
+        assert len(outs_flax) == len(outs_ref)
+        for i, (a, b) in enumerate(zip(outs_flax, outs_ref)):
+            assert_close(a, b, f"prediction {i}")
+        for i, (fa, fb) in enumerate(zip(feats_flax, feats_ref)):
+            assert len(fa) == len(fb)
+            for j, (a, b) in enumerate(zip(fa, fb)):
+                assert_close(a, b, f"D{i} feature {j}")
+
+    def test_multiscale_progressive_depth(self):
+        # pooling_method=None: layer counts 1x, 2x per discriminator
+        self._run_multiscale(
+            dict(
+                num_d=2, num_layers_d=1, spatial_dims=2, num_channels=4,
+                in_channels=1, out_channels=1, kernel_size=4, norm="BATCH",
+                minimum_size_im=16, last_conv_kernel_size=1,
+            ),
+            size=32,
+        )
+
+    def test_multiscale_pooled(self):
+        # pooling_method: same depth per D, input pooled i times with the
+        # torch AvgPool(kernel_size, stride 2, pad (k-1)//2) convention,
+        # and the reference wraps pooled subnets in an extra Sequential
+        # index the converter must strip
+        self._run_multiscale(
+            dict(
+                num_d=2, num_layers_d=2, spatial_dims=2, num_channels=4,
+                in_channels=1, out_channels=1, kernel_size=4, norm="BATCH",
+                pooling_method="avg", minimum_size_im=16,
+                last_conv_kernel_size=1,
+            ),
+            size=64,
+        )
