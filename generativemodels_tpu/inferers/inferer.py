@@ -124,7 +124,12 @@ class DiffusionInferer:
             return (image, k), image
 
         if is_stateful:
-            init = (input_noise, scheduler.init_state(input_noise.shape, input_noise.dtype), key)
+            key, state_key = jax.random.split(key)
+            init = (
+                input_noise,
+                scheduler.init_state(input_noise.shape, input_noise.dtype, key=state_key),
+                key,
+            )
         else:
             init = (input_noise, key)
 

@@ -1,6 +1,11 @@
 from .ddim import DDIMPredictionType, DDIMScheduler
 from .ddpm import DDPMPredictionType, DDPMScheduler, DDPMVarianceType
-from .dpmsolver import DPMSolverMultistepScheduler, DPMSolverPredictionType, DPMSolverState
+from .dpmsolver import (
+    DPMSolverAlgorithmType,
+    DPMSolverMultistepScheduler,
+    DPMSolverPredictionType,
+    DPMSolverState,
+)
 from .pndm import PNDMPredictionType, PNDMScheduler, PNDMState
 from .scheduler import NoiseSchedules, Scheduler
 
@@ -10,6 +15,7 @@ __all__ = [
     "DDPMPredictionType",
     "DDPMScheduler",
     "DDPMVarianceType",
+    "DPMSolverAlgorithmType",
     "DPMSolverMultistepScheduler",
     "DPMSolverPredictionType",
     "DPMSolverState",

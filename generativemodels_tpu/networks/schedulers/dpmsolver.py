@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,11 +40,17 @@ class DPMSolverPredictionType(StrEnum):
     V_PREDICTION = "v_prediction"
 
 
+class DPMSolverAlgorithmType(StrEnum):
+    DPMSOLVER_PP = "dpmsolver++"
+    SDE_DPMSOLVER_PP = "sde-dpmsolver++"
+
+
 class DPMSolverState(NamedTuple):
     """Carry state for DPM-Solver++ multistep stepping inside `lax.scan`."""
 
     counter: jnp.ndarray  # int32 scalar: index into the inference plan
     prev_x0: jnp.ndarray  # D_{i-1}: previous data prediction (zeros at i=0)
+    key: jnp.ndarray  # PRNG key for the SDE variant (unused when deterministic)
 
 
 class DPMSolverMultistepScheduler(Scheduler):
@@ -65,6 +72,19 @@ class DPMSolverMultistepScheduler(Scheduler):
         schedule: NoiseSchedules member name (see scheduler.py).
         solver_order: 1 (== DDIM) or 2 (default, the "2M" method).
         prediction_type: member of DPMSolverPredictionType.
+        algorithm_type: "dpmsolver++" (default, the deterministic ODE
+            solver) or "sde-dpmsolver++" — the stochastic variant solving
+            the reverse SDE with the same exponential-integrator machinery
+            (Lu et al. 2022, §App. SDE-DPM-Solver++). Per step it carries
+            ``(sigma_t/sigma_s) e^{-h}`` of the sample, injects
+            ``alpha_t (1 - e^{-2h}) D_bar``, and adds fresh noise
+            ``sigma_t sqrt(1 - e^{-2h})``; the order-2 lookback weight is
+            the same ``h_i / (2 h_{i-1})`` table. Order 1 at full step
+            count is exactly ancestral DDPM sampling's marginal process;
+            at few steps it trades DDIM-determinism for sample diversity
+            the reference can only get from 1000-step DDPM. The noise
+            stream rides a PRNG key inside :class:`DPMSolverState`
+            (seed it via ``init_state(..., key=...)``).
         clip_sample: clip the data prediction each step (off by default:
             x0-clipping biases fast solvers; enable only for pixel-space
             models trained on [-1, 1]).
@@ -94,6 +114,7 @@ class DPMSolverMultistepScheduler(Scheduler):
         schedule: str = "linear_beta",
         solver_order: int = 2,
         prediction_type: str = DPMSolverPredictionType.EPSILON,
+        algorithm_type: str = DPMSolverAlgorithmType.DPMSOLVER_PP,
         clip_sample: bool = False,
         set_alpha_to_one: bool = True,
         lower_order_final: bool = True,
@@ -111,6 +132,10 @@ class DPMSolverMultistepScheduler(Scheduler):
             )
         if solver_order not in (1, 2):
             raise ValueError(f"solver_order must be 1 or 2, got {solver_order}")
+        if algorithm_type not in DPMSolverAlgorithmType.__members__.values():
+            raise ValueError(
+                "Argument `algorithm_type` must be a member of DPMSolverAlgorithmType"
+            )
         if timestep_spacing not in ("uniform_lambda", "leading"):
             raise ValueError(
                 f"timestep_spacing must be 'uniform_lambda' or 'leading', got {timestep_spacing}"
@@ -119,6 +144,7 @@ class DPMSolverMultistepScheduler(Scheduler):
             raise ValueError("clip_sample_min must be < clip_sample_max")
 
         self.prediction_type = prediction_type
+        self.algorithm_type = algorithm_type
         self.solver_order = solver_order
         self.clip_sample = clip_sample
         self.clip_sample_values = (clip_sample_min, clip_sample_max)
@@ -188,8 +214,19 @@ class DPMSolverMultistepScheduler(Scheduler):
         # e^{-h} computed from the ratios directly: exact 0 at sigma_t == 0,
         # no inf arithmetic anywhere on this path.
         exp_neg_h = (sigma_t * alpha_s) / (sigma_s * alpha_t)
-        c_x = sigma_t / sigma_s  # sample carry
-        c_d = alpha_t * (1.0 - exp_neg_h)  # data carry
+        if self.algorithm_type == DPMSolverAlgorithmType.SDE_DPMSOLVER_PP:
+            # SDE variant: stronger contraction of the sample (e^{-2h} via
+            # the extra e^{-h} factor), matching injected data term, and a
+            # fresh-noise term restoring the marginal variance. All exact
+            # at the sigma_t == 0 boundary (every coefficient -> its
+            # order-1 limit with zero noise).
+            c_x = (sigma_t / sigma_s) * exp_neg_h
+            c_d = alpha_t * (1.0 - exp_neg_h**2)
+            c_n = sigma_t * np.sqrt(np.maximum(1.0 - exp_neg_h**2, 0.0))
+        else:
+            c_x = sigma_t / sigma_s  # sample carry
+            c_d = alpha_t * (1.0 - exp_neg_h)  # data carry
+            c_n = np.zeros(n, dtype=np.float64)
 
         # Second-order lookback weight c_i = h_i / (2 h_{i-1}); zero where the
         # step is forced to order 1: the first step (no history), the final
@@ -207,14 +244,18 @@ class DPMSolverMultistepScheduler(Scheduler):
                 c2[-1] = 0.0
         self._c_x = jnp.asarray(c_x, dtype=jnp.float32)
         self._c_d = jnp.asarray(c_d, dtype=jnp.float32)
+        self._c_n = jnp.asarray(c_n, dtype=jnp.float32)
         self._c2 = jnp.asarray(c2, dtype=jnp.float32)
 
     # -- explicit state --------------------------------------------------------
 
-    def init_state(self, sample_shape: tuple[int, ...], dtype=jnp.float32) -> DPMSolverState:
+    def init_state(
+        self, sample_shape: tuple[int, ...], dtype=jnp.float32, key=None
+    ) -> DPMSolverState:
         return DPMSolverState(
             counter=jnp.asarray(0, jnp.int32),
             prev_x0=jnp.zeros(sample_shape, dtype=dtype),
+            key=jax.random.PRNGKey(0) if key is None else key,
         )
 
     # -- core math -------------------------------------------------------------
@@ -250,5 +291,13 @@ class DPMSolverMultistepScheduler(Scheduler):
         prev_sample = jnp.take(self._c_x, i) * sample.astype(jnp.float32) + jnp.take(
             self._c_d, i
         ) * d_bar
-        new_state = DPMSolverState(counter=i + 1, prev_x0=x0.astype(state.prev_x0.dtype))
+        key = state.key
+        if self.algorithm_type == DPMSolverAlgorithmType.SDE_DPMSOLVER_PP:
+            key, sub = jax.random.split(key)
+            prev_sample = prev_sample + jnp.take(self._c_n, i) * jax.random.normal(
+                sub, prev_sample.shape, jnp.float32
+            )
+        new_state = DPMSolverState(
+            counter=i + 1, prev_x0=x0.astype(state.prev_x0.dtype), key=key
+        )
         return prev_sample.astype(sample.dtype), new_state

@@ -110,7 +110,8 @@ class PNDMScheduler(Scheduler):
 
     # -- explicit state ------------------------------------------------------
 
-    def init_state(self, sample_shape: tuple[int, ...], dtype=jnp.float32) -> PNDMState:
+    def init_state(self, sample_shape: tuple[int, ...], dtype=jnp.float32, key=None) -> PNDMState:
+        # `key` accepted for stateful-scheduler duck-typing (PNDM is deterministic)
         zeros = jnp.zeros(sample_shape, dtype=dtype)
         return PNDMState(
             counter=jnp.asarray(0, jnp.int32),

@@ -76,7 +76,7 @@ def sample_with_guidance(
         return (image, k), None
 
     if is_stateful:
-        init = (input_noise, scheduler.init_state(input_noise.shape, input_noise.dtype))
+        init = (input_noise, scheduler.init_state(input_noise.shape, input_noise.dtype, key=key))
     else:
         init = (input_noise, key)
     (image, *_), _ = jax.lax.scan(body, init, timesteps)

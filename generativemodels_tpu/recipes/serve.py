@@ -77,10 +77,14 @@ def build_sampler(
         params = restored["params"]
         mgr.close()
 
-    if solver == "dpmsolver":
+    if solver in ("dpmsolver", "sde-dpmsolver"):
         # DPM-Solver++ (2M): DDIM-50-equivalent quality at 10-20 steps —
-        # the serving-latency knob (see docs/PERFORMANCE.md "Fast solvers")
-        scheduler = DPMSolverMultistepScheduler(num_train_timesteps=1000)
+        # the serving-latency knob (see docs/PERFORMANCE.md "Fast solvers");
+        # sde- prefix selects the stochastic variant (sample diversity)
+        scheduler = DPMSolverMultistepScheduler(
+            num_train_timesteps=1000,
+            algorithm_type="sde-dpmsolver++" if solver == "sde-dpmsolver" else "dpmsolver++",
+        )
     else:
         scheduler = DDIMScheduler(num_train_timesteps=1000)
     scheduler.set_timesteps(ddim_steps)
@@ -191,7 +195,7 @@ def main() -> None:
     parser.add_argument("--ddim-steps", type=int, default=50,
                         help="sampling step count (any --solver)")
     parser.add_argument("--solver", type=str, default="ddim",
-                        choices=["ddim", "dpmsolver"],
+                        choices=["ddim", "dpmsolver", "sde-dpmsolver"],
                         help="dpmsolver = DPM-Solver++ (2M): DDIM-50 quality "
                         "at 10-20 steps")
     parser.add_argument("--checkpoint-dir", type=str, default=None)

@@ -154,6 +154,22 @@ class TestSample:
         )
         assert sample.shape == noise.shape
 
+    def test_sde_dpmsolver_key_drives_diversity(self, tiny_model):
+        """The SDE solver's noise stream rides the inferer `key`: same key
+        reproduces, different keys diverge (the ODE solver would not)."""
+        scheduler = DPMSolverMultistepScheduler(
+            num_train_timesteps=10, algorithm_type="sde-dpmsolver++"
+        )
+        scheduler.set_timesteps(10)
+        inferer = DiffusionInferer(scheduler)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16, 16))
+        s1 = inferer.sample(noise, tiny_model, key=jax.random.PRNGKey(1))
+        s2 = inferer.sample(noise, tiny_model, key=jax.random.PRNGKey(1))
+        s3 = inferer.sample(noise, tiny_model, key=jax.random.PRNGKey(2))
+        assert bool(jnp.isfinite(s1).all())
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        assert float(jnp.abs(s1 - s3).max()) > 1e-4
+
     def test_ddim_deterministic(self, tiny_model):
         scheduler = DDIMScheduler(num_train_timesteps=10)
         scheduler.set_timesteps(10)

@@ -342,9 +342,73 @@ class TestDPMSolver:
             x, state = s.step(state, mo, int(t), x)
         np.testing.assert_allclose(np.asarray(final_scan), np.asarray(x), rtol=1e-5, atol=1e-6)
 
+    def test_sde_order1_coefficients_are_ddpm_posterior(self):
+        """SDE-DPM-Solver++ at order 1 on the full training grid is exactly
+        ancestral DDPM sampling: the sample/data carries equal the DDPM
+        posterior mean coefficients and the noise scale equals the DDPM
+        posterior std (beta-tilde). Verified algebraically via
+        e^{-2h} = sigma_t^2 abar_s / (sigma_s^2 abar_t); pinned here
+        numerically against the DDPM formulas."""
+        n = 50
+        sch = DPMSolverMultistepScheduler(
+            num_train_timesteps=n,
+            solver_order=1,
+            algorithm_type="sde-dpmsolver++",
+            timestep_spacing="leading",
+        )
+        sch.set_timesteps(n)
+        abar = np.asarray(sch.alphas_cumprod, dtype=np.float64)
+        ts = np.asarray(sch.timesteps)
+        abar_s = abar[ts]
+        abar_t = np.concatenate([abar[ts[1:]], [1.0]])  # set_alpha_to_one boundary
+        alpha_step = abar_s / abar_t
+        coeff_x = np.sqrt(alpha_step) * (1 - abar_t) / (1 - abar_s)
+        coeff_x0 = np.sqrt(abar_t) * (1 - alpha_step) / (1 - abar_s)
+        var = (1 - abar_t) / (1 - abar_s) * (1 - alpha_step)
+        np.testing.assert_allclose(np.asarray(sch._c_x), coeff_x, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(sch._c_d), coeff_x0, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(sch._c_n), np.sqrt(var), rtol=1e-5, atol=1e-7)
+
+    def _run_sde(self, nsteps, x_start, key, *, order=2):
+        sch = DPMSolverMultistepScheduler(
+            num_train_timesteps=1000,
+            solver_order=order,
+            algorithm_type="sde-dpmsolver++",
+        )
+        sch.set_timesteps(nsteps)
+        eps = _gaussian_eps_model(sch)
+
+        def body(carry, t):
+            x, state = carry
+            x, state = sch.step(state, eps(x, t), t, x)
+            return (x, state), None
+
+        init = (x_start, sch.init_state(x_start.shape, x_start.dtype, key=key))
+        (x, _), _ = jax.lax.scan(body, init, jnp.asarray(sch.timesteps))
+        return np.asarray(x)
+
+    def test_sde_preserves_data_marginal(self):
+        """With the exact score of x0 ~ N(0.3, 0.5^2), the reverse SDE's
+        endpoint marginal must reproduce the data distribution (the ODE
+        sampler instead maps each noise point deterministically)."""
+        x_start = jax.random.normal(jax.random.PRNGKey(0), (4000,))
+        out = self._run_sde(30, x_start, jax.random.PRNGKey(1))
+        assert abs(out.mean() - 0.3) < 0.05
+        assert abs(out.std() - 0.5) < 0.05
+
+    def test_sde_reproducible_and_diverse(self):
+        x_start = jax.random.normal(jax.random.PRNGKey(2), (2, 8))
+        a = self._run_sde(10, x_start, jax.random.PRNGKey(3))
+        b = self._run_sde(10, x_start, jax.random.PRNGKey(3))
+        c = self._run_sde(10, x_start, jax.random.PRNGKey(4))
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a - c).max() > 1e-3
+
     def test_validation(self):
         with pytest.raises(ValueError):
             DPMSolverMultistepScheduler(solver_order=3)
+        with pytest.raises(ValueError):
+            DPMSolverMultistepScheduler(algorithm_type="dpmsolver")
         with pytest.raises(ValueError):
             DPMSolverMultistepScheduler(timestep_spacing="trailing")
         with pytest.raises(ValueError):
