@@ -43,7 +43,7 @@ def _activation(act):
 
 
 class _Norm(nn.Module):
-    kind: str | None
+    kind: str | tuple | None
     dtype: jnp.dtype | None = None
     # cross-device stat sync for BATCH norm: the TPU-native SyncBatchNorm the
     # reference advises for DDP (patchgan_discriminator.py:262-267). Set to the
@@ -54,7 +54,12 @@ class _Norm(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         if self.kind is None:
             return x
-        kind = str(self.kind).upper()
+        # MONAI-style ("GROUP", {"num_groups": N}) tuples carry norm kwargs
+        kwargs = {}
+        kind = self.kind
+        if isinstance(kind, (tuple, list)):
+            kind, kwargs = kind[0], dict(kind[1]) if len(kind) > 1 else {}
+        kind = str(kind).upper()
         if kind == "BATCH":
             return nn.BatchNorm(
                 use_running_average=deterministic,
@@ -70,7 +75,9 @@ class _Norm(nn.Module):
             var = jnp.var(x, axis=axes, keepdims=True)
             return (x - mean) / jnp.sqrt(var + 1e-5)
         if kind == "GROUP":
-            return nn.GroupNorm(num_groups=min(32, x.shape[-1]), dtype=self.dtype)(x)
+            groups = kwargs.get("num_groups", min(32, x.shape[-1]))
+            eps = kwargs.get("eps", 1e-5)
+            return nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=self.dtype)(x)
         raise ValueError(f"Unsupported norm {self.kind}")
 
 

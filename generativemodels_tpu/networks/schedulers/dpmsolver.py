@@ -252,6 +252,16 @@ class DPMSolverMultistepScheduler(Scheduler):
     def init_state(
         self, sample_shape: tuple[int, ...], dtype=jnp.float32, key=None
     ) -> DPMSolverState:
+        if key is None and self.algorithm_type == DPMSolverAlgorithmType.SDE_DPMSOLVER_PP:
+            import warnings
+
+            warnings.warn(
+                "DPMSolverScheduler.init_state: algorithm_type='sde-dpmsolver++' "
+                "with key=None uses the fixed PRNGKey(0) — every run draws the "
+                "SAME 'stochastic' noise. Pass key=jax.random.PRNGKey(seed) for "
+                "distinct samples.",
+                stacklevel=2,
+            )
         return DPMSolverState(
             counter=jnp.asarray(0, jnp.int32),
             prev_x0=jnp.zeros(sample_shape, dtype=dtype),

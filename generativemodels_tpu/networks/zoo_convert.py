@@ -337,8 +337,8 @@ def _translate_patchgan(dirs: tuple[str, ...]) -> str:
             parts.append(p[6:])
         elif p.startswith("norm_") and p[5:].isdigit():
             parts.append(f"{p[5:]}.adn.N")
-        elif p == "BatchNorm_0":
-            continue  # folded into the norm_{l} segment above
+        elif p in ("BatchNorm_0", "GroupNorm_0"):
+            continue  # flax norm child, folded into the norm_{l} segment above
         else:
             parts.append(p)  # initial_conv / final_conv / discriminator_{i}
     return ".".join(parts)
@@ -835,13 +835,11 @@ def load_reference_checkpoint(checkpoint, model, example_args=None):
     else:
         args, kwargs = tuple(example_args), {}
     rngs = {"params": _jax.random.PRNGKey(0), "sampling": _jax.random.PRNGKey(0)}
-    struct = params_structure(model, *args, rngs=rngs, **kwargs)
 
-    if name == "DiffusionModelUNet":
-        return {"params": convert_diffusion_model_unet(sd, struct)}
-    if name == "DiffusionModelEncoder":
-        return {"params": convert_diffusion_model_encoder(sd, struct)}
     if name in ("PatchDiscriminator", "MultiScalePatchDiscriminator"):
+        # discriminators carry BatchNorm running stats in a separate
+        # collection; derive params from the full variables tree instead of
+        # paying a second jax.eval_shape of model.init
         variables = variables_structure(model, *args, rngs=rngs, **kwargs)
         params, stats = convert_patch_discriminator(
             sd, variables["params"], variables.get("batch_stats")
@@ -850,6 +848,13 @@ def load_reference_checkpoint(checkpoint, model, example_args=None):
             "params": params,
             "batch_stats": stats,
         }
+
+    struct = params_structure(model, *args, rngs=rngs, **kwargs)
+
+    if name == "DiffusionModelUNet":
+        return {"params": convert_diffusion_model_unet(sd, struct)}
+    if name == "DiffusionModelEncoder":
+        return {"params": convert_diffusion_model_encoder(sd, struct)}
     if name == "ControlNet":
         return {"params": convert_controlnet(sd, struct)}
     if name == "AutoencoderKL":

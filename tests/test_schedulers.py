@@ -404,6 +404,24 @@ class TestDPMSolver:
         np.testing.assert_array_equal(a, b)
         assert np.abs(a - c).max() > 1e-3
 
+    def test_sde_default_key_warns(self):
+        """SDE variant with key=None silently reuses PRNGKey(0) across runs;
+        init_state must warn so direct scheduler-API users notice."""
+        s = DPMSolverMultistepScheduler(
+            num_train_timesteps=100, algorithm_type="sde-dpmsolver++"
+        )
+        s.set_timesteps(5)
+        with pytest.warns(UserWarning, match="PRNGKey\\(0\\)"):
+            s.init_state((2, 4))
+        # deterministic ODE variant stays silent
+        import warnings as _w
+
+        ode = DPMSolverMultistepScheduler(num_train_timesteps=100)
+        ode.set_timesteps(5)
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            ode.init_state((2, 4))
+
     def test_validation(self):
         with pytest.raises(ValueError):
             DPMSolverMultistepScheduler(solver_order=3)

@@ -793,6 +793,27 @@ class TestPatchDiscriminatorParity:
         for i, (a, b) in enumerate(zip(outs_flax, outs_ref)):
             assert_close(a, b, f"feature {i}")
 
+    def test_groupnorm_translation(self):
+        # GROUP-norm discriminators: the torch reference cannot build one
+        # (patchgan_discriminator.py:262 calls norm.lower() so tuple norms
+        # crash, and bare "GROUP" lacks num_groups), so no cross-framework
+        # golden exists. Pin the translator contract instead: the flax
+        # GroupNorm_0 child folds into `{l}.adn.N` exactly like
+        # BatchNorm_0, so converting a GROUP checkpoint cannot KeyError.
+        assert (
+            zc._translate_patchgan(("norm_1", "GroupNorm_0")) == "1.adn.N"
+        )
+        assert (
+            zc._translate_patchgan(
+                ("discriminator_0", "norm_2", "GroupNorm_0")
+            )
+            == "discriminator_0.2.adn.N"
+        )
+        assert (
+            zc._translate_patchgan(("norm_1", "BatchNorm_0"))
+            == zc._translate_patchgan(("norm_1", "GroupNorm_0"))
+        )
+
     def test_3d(self):
         from generativemodels_tpu.networks.nets import PatchDiscriminator
 
