@@ -107,6 +107,7 @@ class ControlNetDiffusionInferer(DiffusionInferer):
         verbose: bool = False,
         seg: jnp.ndarray | None = None,
         key: jax.Array | None = None,
+        noise: jnp.ndarray | None = None,
     ):
         return super().get_likelihood(
             inputs=inputs,
@@ -120,6 +121,7 @@ class ControlNetDiffusionInferer(DiffusionInferer):
             verbose=verbose,
             seg=seg,
             key=key,
+            noise=noise,
         )
 
 
@@ -221,6 +223,7 @@ class ControlNetLatentDiffusionInferer(LatentDiffusionInferer):
         seg: jnp.ndarray | None = None,
         quantized: bool = True,
         key: jax.Array | None = None,
+        noise: jnp.ndarray | None = None,
     ):
         latent_probe = autoencoder_model.encode_stage_2_inputs(
             inputs[:1], **({"quantized": quantized} if hasattr(inputs, "shape") and _is_vq(autoencoder_model) else {})
@@ -242,6 +245,7 @@ class ControlNetLatentDiffusionInferer(LatentDiffusionInferer):
             seg=seg,
             quantized=quantized,
             key=key,
+            noise=noise,
         )
 
 

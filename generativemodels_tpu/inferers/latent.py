@@ -183,6 +183,7 @@ class LatentDiffusionInferer(DiffusionInferer):
         seg: jnp.ndarray | None = None,
         quantized: bool = True,
         key: jax.Array | None = None,
+        noise: jnp.ndarray | None = None,
     ):
         if resample_latent_likelihoods and resample_interpolation_mode not in (
             "nearest",
@@ -206,6 +207,7 @@ class LatentDiffusionInferer(DiffusionInferer):
             verbose=verbose,
             seg=seg,
             key=key,
+            noise=noise,
         )
         if save_intermediates and resample_latent_likelihoods:
             total, intermediates = outputs
