@@ -168,6 +168,100 @@ def measure_3d_dpmsolver_samples_per_min(runs: int = 3) -> dict:
     }
 
 
+def measure_3d_train_steps_per_sec(warmup: int = 3, steps: int = 10) -> dict:
+    """3D 128^3 DDPM train step, batch 1 (benchmarks/bench_3d_train.py).
+
+    The reference's 3D tutorial needs ~21 GB GPU at batch 8 on *downsampled*
+    BraTS (tutorials/generative/3d_ddpm/3d_ddpm_tutorial.py:109); this config
+    trains full 128^3 on one 16 GB v5e chip, no remat (results_3d_remat.json).
+    """
+    model = DiffusionModelUNet(
+        spatial_dims=3, in_channels=1, out_channels=1, num_res_blocks=1,
+        num_channels=(32, 64, 128), attention_levels=(False, False, True),
+        num_head_channels=64, norm_num_groups=32, dtype=jnp.bfloat16,
+        use_checkpointing=False,
+    )
+    from generativemodels_tpu.parallel import init_train_state as _init_ts
+    from generativemodels_tpu.parallel import make_diffusion_train_step as _mk_step
+
+    x = jnp.zeros((1, 1, 128, 128, 128))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+    scheduler = DDPMScheduler(num_train_timesteps=1000)
+    tx = optax.adam(2.5e-5)
+    apply = lambda p, xx, tt: model.apply({"params": p}, xx, tt)
+    step = _mk_step(apply, scheduler, tx)
+    state = _init_ts(variables["params"], tx)
+    images = jax.random.uniform(jax.random.PRNGKey(1), x.shape)
+    rng = jax.random.PRNGKey(2)
+    for _ in range(warmup):
+        rng, sub = jax.random.split(rng)
+        state, loss = step(state, images, sub)
+    float(loss)
+    t0 = time.time()
+    for _ in range(steps):
+        rng, sub = jax.random.split(rng)
+        state, loss = step(state, images, sub)
+    float(loss)
+    value = steps / (time.time() - t0)
+    return {
+        "metric": "3d_128_train_steps_per_sec",
+        "value": round(value, 3),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "baseline_context": "reference 3D tutorial cannot run this shape on one GPU "
+        "(needs ~21 GB at batch 8 on downsampled volumes); history in benchmarks/results_3d_train.json",
+        "config": "3D UNet(32,64,128) bf16 b1 128^3 no-remat",
+    }
+
+
+def measure_3d_ldm_samples_per_min(runs: int = 3) -> dict:
+    """Latent-3D route at 128^3: latent DDIM-50 + AEKL decode in one program
+    (benchmarks/bench_3d_ldm.py — the configuration family the reference's
+    model-zoo bundles actually ship, e.g. brain_image_synthesis_ldm)."""
+    from generativemodels_tpu.inferers import LatentDiffusionInferer
+    from generativemodels_tpu.networks.nets import AutoencoderKL
+    from generativemodels_tpu.networks.schedulers import DDIMScheduler
+
+    aekl = AutoencoderKL(
+        spatial_dims=3, in_channels=1, out_channels=1, num_res_blocks=1,
+        num_channels=(32, 64, 64), attention_levels=(False, False, False),
+        latent_channels=3, norm_num_groups=32, with_encoder_nonlocal_attn=False,
+        with_decoder_nonlocal_attn=False, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 1, 128, 128, 128))
+    a_vars = jax.jit(aekl.init)(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, x)
+    bound = aekl.bind(a_vars, rngs={"sampling": jax.random.PRNGKey(2)})
+
+    unet = DiffusionModelUNet(
+        spatial_dims=3, in_channels=3, out_channels=3, num_res_blocks=2,
+        num_channels=(64, 128, 256), attention_levels=(False, True, True),
+        num_head_channels=64, norm_num_groups=32, dtype=jnp.bfloat16)
+    z = jnp.zeros((1, 3, 32, 32, 32))
+    u_vars = jax.jit(unet.init)(jax.random.PRNGKey(3), z, jnp.zeros((1,), jnp.int32))
+    fn = lambda xx, tt, context=None: unet.apply(u_vars, xx, tt)
+
+    sched = DDIMScheduler(num_train_timesteps=1000)
+    sched.set_timesteps(50)
+    inf = LatentDiffusionInferer(sched, scale_factor=0.3)
+    sample = jax.jit(lambda noise, key: inf.sample(noise, bound, fn, key=key))
+    noise = jax.random.normal(jax.random.PRNGKey(4), z.shape)
+    float(jnp.sum(sample(noise, jax.random.PRNGKey(5))))  # compile + sync
+    t0 = time.time()
+    for i in range(runs):
+        img = sample(noise, jax.random.PRNGKey(6 + i))
+    float(jnp.sum(img))
+    value = 60.0 / ((time.time() - t0) / runs)
+    return {
+        "metric": "3d_128_ldm_ddim50_samples_per_min_per_chip",
+        "value": round(value, 3),
+        "unit": "samples/min",
+        "vs_baseline": None,
+        "baseline_context": "latent route (model-zoo bundle configuration family); "
+        "A100 framing in benchmarks/A100_PROXY.md",
+        "config": "AEKL(32,64,64) 4x-down + UNet(64,128,256)@32^3 latent, bf16, DDIM-50",
+    }
+
+
 def torch_cpu_baseline() -> float:
     """Measured-once PyTorch-CPU steps/sec for the same config (cached)."""
     if os.path.exists(BASELINE_CACHE):
@@ -254,10 +348,20 @@ def main() -> None:
         metric_dpm = measure_3d_dpmsolver_samples_per_min()
     except Exception as exc:
         metric_dpm = {"metric": "3d_128_dpmsolver10_samples_per_min_per_chip", "error": str(exc)[:200]}
+    try:
+        metric_3d_train = measure_3d_train_steps_per_sec()
+    except Exception as exc:
+        metric_3d_train = {"metric": "3d_128_train_steps_per_sec", "error": str(exc)[:200]}
+    try:
+        metric_ldm = measure_3d_ldm_samples_per_min()
+    except Exception as exc:
+        metric_ldm = {"metric": "3d_128_ldm_ddim50_samples_per_min_per_chip", "error": str(exc)[:200]}
     result["metrics"] = [
         {k: result[k] for k in ("metric", "value", "unit", "vs_baseline", "baseline", "config")},
         metric_3d,
         metric_dpm,
+        metric_3d_train,
+        metric_ldm,
     ]
     print(json.dumps(result))
 
