@@ -106,7 +106,11 @@ def variables_structure(model, *example_args, method=None, rngs=None, **example_
 def _np(t) -> np.ndarray:
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t)
+    # Copy: torch's .numpy() returns a VIEW of live parameter storage, and
+    # untransposed leaves (1-D norm scales/biases) would otherwise flow into
+    # the flax tree still aliasing it — converting from a live model and then
+    # continuing to train it would silently mutate the converted params.
+    return np.array(t)
 
 
 def convert_state_dict(

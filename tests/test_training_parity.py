@@ -79,6 +79,10 @@ def test_ddpm_loss_trajectory_matches_reference():
     torch.manual_seed(0)
     ref2 = ref_nets.DiffusionModelUNet(**CFG)
     params = zc.convert_diffusion_model_unet(ref2.state_dict(), struct)
+    # force copies BEFORE the torch loop runs: converted 1-D leaves (norm
+    # scales/biases) can be numpy VIEWS of live torch storage, so the torch
+    # optimizer steps below would otherwise mutate the jax side's init
+    params = jax.tree.map(lambda a: jnp.array(np.array(a)), params)
 
     sched_t = ref_schedulers.DDPMScheduler(num_train_timesteps=T)
     opt_t = torch.optim.Adam(ref2.parameters(), lr=LR)
@@ -98,7 +102,6 @@ def test_ddpm_loss_trajectory_matches_reference():
         torch_losses.append(loss.item())
 
     sched = DDPMScheduler(num_train_timesteps=T)
-    params = jax.tree.map(jnp.asarray, params)
     tx = optax.adam(LR)
     opt_state = tx.init(params)
 
