@@ -5,6 +5,7 @@ from .pipeline import (
     cached_dataset,
     device_batches,
     file_dataset,
+    multihost_device_batches,
     paired_stream,
     prefetch_to_device,
     training_stream,
@@ -20,6 +21,7 @@ __all__ = [
     "cached_dataset",
     "device_batches",
     "file_dataset",
+    "multihost_device_batches",
     "paired_stream",
     "prefetch_to_device",
     "training_stream",

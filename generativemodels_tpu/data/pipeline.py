@@ -95,6 +95,8 @@ def file_dataset(
     loop: bool = True,
     shuffle: bool = False,
     seed: int = 0,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ) -> Iterator[np.ndarray]:
     """Yield float32 arrays from .nii/.nii.gz, PNG/JPEG (native C++
     loader), .npy, or other 2D images (threaded PIL decoding).
@@ -104,6 +106,14 @@ def file_dataset(
     the reference tutorials, e.g. tutorials/generative/2d_ddpm/
     2d_ddpm_tutorial.py) — deterministic given `seed`, so a restarted
     run at a known epoch sees the same order.
+
+    On a multi-host pod pass `process_index`/`process_count` (or leave
+    them None with jax.distributed initialised — they default to
+    jax.process_index/count): each host reads only its own strided slice
+    of the per-epoch GLOBAL order, so shards are disjoint, cover the
+    dataset, and reshuffle coherently across hosts (every host applies
+    the identical seeded permutation before slicing — the reference's
+    partition_dataset(shuffle=True) contract, ddpm_training_ddp.py:105).
     """
     exts = (".nii", ".nii.gz", ".npy") + _IMAGE_EXTS
     paths = sorted(
@@ -122,6 +132,10 @@ def file_dataset(
     # whichever family is non-empty in priority order (nifti > image > npy)
     family = nifti_paths or image_paths or npy_paths
 
+    if process_count is None:
+        process_count = jax.process_count()
+    multihost = process_count > 1 or process_index is not None
+
     epoch = 0
     while True:
         epoch_paths = family
@@ -129,6 +143,10 @@ def file_dataset(
             rng = np.random.RandomState((seed + epoch) & 0x7FFFFFFF)
             epoch_paths = list(family)
             rng.shuffle(epoch_paths)
+        if multihost:
+            from ..parallel.multihost import partition_files
+
+            epoch_paths = partition_files(epoch_paths, process_index, process_count)
         count = 0
         for arr in _epoch_iter(epoch_paths, num_workers):
             count += 1
@@ -251,6 +269,46 @@ def device_batches(
          for b in batched(stream, batch)),
         size=prefetch,
     )
+
+
+def multihost_device_batches(
+    data_dir: str,
+    shape,
+    global_batch: int,
+    mesh,
+    fit: str = "crop_pad",
+    cache: bool = False,
+    augment: bool = False,
+    seed: int = 0,
+    prefetch: int = 2,
+) -> Iterator:
+    """`device_batches` for a multi-host pod: each host decodes only its
+    own file partition (file_dataset's process slicing) and contributes a
+    (global_batch / process_count)-sized local batch; the yielded arrays
+    are GLOBAL jax.Arrays sharded over the mesh's "data" axis, assembled
+    with jax.make_array_from_process_local_data — the jitted train step
+    downstream is identical to the single-host path.
+
+    Reference surface: tutorials/generative/distributed_training/
+    ddpm_training_ddp.py:105-125 (per-rank partition + DistributedSampler).
+    """
+    from ..parallel.multihost import global_batches
+
+    pc = jax.process_count()
+    if global_batch % pc:
+        raise ValueError(
+            f"global batch {global_batch} must divide evenly across "
+            f"{pc} processes"
+        )
+    local = global_batch // pc
+    stream = training_stream(
+        data_dir, shape, fit, cache=cache, augment=augment, seed=seed
+    )
+    target = (local, 1) + tuple(shape)
+    local_iter = (
+        np.asarray(b, np.float32).reshape(target) for b in batched(stream, local)
+    )
+    return global_batches(local_iter, mesh, prefetch=prefetch)
 
 
 def _read_any(path: str) -> np.ndarray:

@@ -6,6 +6,12 @@ from .mesh import (
     shard_params,
     spatial_sharding,
 )
+from .multihost import (
+    assemble_global_batch,
+    global_batches,
+    initialize_multihost,
+    partition_files,
+)
 from .train import TrainState, init_train_state, make_diffusion_train_step, make_multi_step_train
 
 __all__ = [
@@ -15,6 +21,10 @@ __all__ = [
     "shard_batch",
     "shard_params",
     "spatial_sharding",
+    "assemble_global_batch",
+    "global_batches",
+    "initialize_multihost",
+    "partition_files",
     "TrainState",
     "init_train_state",
     "make_diffusion_train_step",

@@ -49,6 +49,11 @@ def main() -> None:
                         help="training target; v_prediction mirrors "
                         "2d_ddpm_tutorial_v_prediction.py")
     parser.add_argument("--data-parallel", action="store_true")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host pod run: jax.distributed.initialize "
+                        "via parallel.initialize_multihost, per-host file "
+                        "partitioning, global-batch assembly; run the SAME "
+                        "command on every host (docs/MULTIHOST.md)")
     parser.add_argument("--data-dir", type=str, default=None,
                         help=".nii/.nii.gz/.npy directory; synthetic blobs if omitted")
     parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
@@ -71,6 +76,14 @@ def main() -> None:
     parser.add_argument("--sample", action="store_true", help="sample after training")
     args = parser.parse_args()
 
+    if args.multihost:
+        from ..parallel import initialize_multihost
+
+        pid, pcount = initialize_multihost()  # before any device queries
+    else:
+        pid, pcount = 0, 1
+    is_main = pid == 0
+
     model = DiffusionModelUNet(
         spatial_dims=2, in_channels=1, out_channels=1, num_res_blocks=1,
         num_channels=tuple(args.channels),
@@ -87,7 +100,11 @@ def main() -> None:
     variables = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((args.batch,), jnp.int32))
     apply = lambda p, x, t: model.apply({"params": p}, x, t)
 
-    mesh = create_mesh({"data": jax.device_count()}) if args.data_parallel else None
+    mesh = (
+        create_mesh({"data": jax.device_count()})  # global devices on a pod
+        if (args.data_parallel or args.multihost)
+        else None
+    )
     step = make_diffusion_train_step(
         apply, scheduler, tx, mesh=mesh, prediction_target=args.prediction_type,
         accumulate_steps=args.accumulate, ema_decay=args.ema_decay,
@@ -100,7 +117,16 @@ def main() -> None:
     rng = jax.random.PRNGKey(42)
 
     data_iter = None
-    if args.data_dir:
+    if args.data_dir and args.multihost:
+        from ..data import multihost_device_batches
+
+        # --batch is the GLOBAL batch; each host decodes only its own
+        # file partition and contributes batch/process_count samples
+        data_iter = multihost_device_batches(
+            args.data_dir, (args.size,) * 2, args.batch, mesh, args.fit,
+            cache=args.cache, augment=args.augment,
+        )
+    elif args.data_dir:
         from ..data import device_batches
 
         data_iter = device_batches(
@@ -112,13 +138,20 @@ def main() -> None:
         rng, k_data, k_step = jax.random.split(rng, 3)
         if data_iter is not None:
             images = next(data_iter) * 2 - 1
+        elif args.multihost:
+            from ..parallel import assemble_global_batch
+
+            local = synthetic_batch(
+                jax.random.fold_in(k_data, pid), args.batch // pcount, args.size
+            ) * 2 - 1
+            images = assemble_global_batch(local, mesh)
         else:
             images = synthetic_batch(k_data, args.batch, args.size) * 2 - 1
-        if mesh:
+        if mesh and not args.multihost:
             images = shard_batch(images, mesh)
         state, loss = step(state, images, k_step)
         timer.tick()
-        if (i + 1) % 20 == 0:
+        if (i + 1) % 20 == 0 and is_main:
             sps = timer.steps_per_sec
             print(f"step {i + 1}/{args.steps} loss={float(loss):.4f}"
                   + (f" {sps:.2f} steps/s" if sps else ""))
@@ -126,10 +159,15 @@ def main() -> None:
     final_params = state.ema_params if args.ema_decay is not None else state.params
     if mgr:
         mgr.save(int(state.step), {"params": final_params, "step": state.step})
-        print(f"checkpoint saved at step {int(state.step)}"
-              + (" (EMA weights)" if args.ema_decay is not None else ""))
+        if is_main:
+            print(f"checkpoint saved at step {int(state.step)}"
+                  + (" (EMA weights)" if args.ema_decay is not None else ""))
 
-    if args.sample:
+    if args.sample and pcount > 1:
+        if is_main:
+            print("--sample is a single-host path; sample from the saved "
+                  "checkpoint instead (recipes/serve.py)")
+    elif args.sample:
         inferer = DiffusionInferer(scheduler)
         scheduler.set_timesteps(1000)
         fn = lambda x, t, context=None: apply(final_params, x, t)

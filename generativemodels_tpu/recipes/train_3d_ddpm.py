@@ -79,6 +79,11 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--prediction-type", choices=["epsilon", "v_prediction"],
                         default="epsilon")
     parser.add_argument("--data-parallel", action="store_true")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host pod run: jax.distributed.initialize "
+                        "via parallel.initialize_multihost, per-host file "
+                        "partitioning, global-batch assembly; run the SAME "
+                        "command on every host (docs/MULTIHOST.md)")
     parser.add_argument("--data-dir", type=str, default=None,
                         help=".nii/.nii.gz/.npy volume directory; synthetic blobs if omitted")
     parser.add_argument("--fit", choices=["crop_pad", "resize", "none"],
@@ -108,6 +113,14 @@ def main(argv=None) -> None:
     enable_persistent_compilation_cache()
     args = build_argparser().parse_args(argv)
 
+    if args.multihost:
+        from ..parallel import initialize_multihost
+
+        pid, pcount = initialize_multihost()  # before any device queries
+    else:
+        pid, pcount = 0, 1
+    is_main = pid == 0
+
     model = DiffusionModelUNet(
         spatial_dims=3, in_channels=1, out_channels=1,
         num_res_blocks=args.num_res_blocks,
@@ -133,7 +146,11 @@ def main(argv=None) -> None:
     )
     apply = lambda p, x, t: model.apply({"params": p}, x, t)
 
-    mesh = create_mesh({"data": jax.device_count()}) if args.data_parallel else None
+    mesh = (
+        create_mesh({"data": jax.device_count()})  # global devices on a pod
+        if (args.data_parallel or args.multihost)
+        else None
+    )
     step = make_diffusion_train_step(
         apply, scheduler, tx, mesh=mesh, prediction_target=args.prediction_type,
         accumulate_steps=args.accumulate, ema_decay=args.ema_decay,
@@ -146,7 +163,16 @@ def main(argv=None) -> None:
     rng = jax.random.PRNGKey(42)
 
     data_iter = None
-    if args.data_dir:
+    if args.data_dir and args.multihost:
+        from ..data import multihost_device_batches
+
+        # --batch is the GLOBAL batch; each host decodes only its own
+        # file partition and contributes batch/process_count samples
+        data_iter = multihost_device_batches(
+            args.data_dir, (args.size,) * 3, args.batch, mesh, args.fit,
+            cache=args.cache, augment=args.augment,
+        )
+    elif args.data_dir:
         from ..data import device_batches
 
         data_iter = device_batches(
@@ -158,13 +184,20 @@ def main(argv=None) -> None:
         rng, k_data, k_step = jax.random.split(rng, 3)
         if data_iter is not None:
             images = next(data_iter) * 2 - 1
+        elif args.multihost:
+            from ..parallel import assemble_global_batch
+
+            local = synthetic_volume(
+                jax.random.fold_in(k_data, pid), args.batch // pcount, args.size
+            ) * 2 - 1
+            images = assemble_global_batch(local, mesh)
         else:
             images = synthetic_volume(k_data, args.batch, args.size) * 2 - 1
-        if mesh:
+        if mesh and not args.multihost:
             images = shard_batch(images, mesh)
         state, loss = step(state, images, k_step)
         timer.tick()
-        if (i + 1) % 20 == 0:
+        if (i + 1) % 20 == 0 and is_main:
             sps = timer.steps_per_sec
             print(f"step {i + 1}/{args.steps} loss={float(loss):.4f}"
                   + (f" {sps:.2f} steps/s" if sps else ""))
@@ -173,10 +206,15 @@ def main(argv=None) -> None:
     final_params = state.ema_params if args.ema_decay is not None else state.params
     if mgr:
         mgr.save(int(state.step), {"params": final_params, "step": state.step})
-        print(f"checkpoint saved at step {int(state.step)}"
-              + (" (EMA weights)" if args.ema_decay is not None else ""))
+        if is_main:
+            print(f"checkpoint saved at step {int(state.step)}"
+                  + (" (EMA weights)" if args.ema_decay is not None else ""))
 
-    if args.sample:
+    if args.sample and pcount > 1:
+        if is_main:
+            print("--sample is a single-host path; sample from the saved "
+                  "checkpoint instead (recipes/serve.py)")
+    elif args.sample:
         ddim = DDIMScheduler(num_train_timesteps=1000)
         ddim.set_timesteps(args.sample_steps)
         inferer = DiffusionInferer(ddim)

@@ -619,3 +619,51 @@ class TestShardedLDMCommPattern:
                 vols = pipeline(sched)(u_p, a_p, noise, ctx_sh, uctx_sh)
             assert vols.shape == vol.shape
             assert bool(jnp.isfinite(vols).all()), type(sched).__name__
+
+
+class TestPartitionFiles:
+    """Per-host file partitioning (parallel/multihost.py) — single-process
+    unit coverage; the true 2-process path runs in tests/test_distributed.py."""
+
+    def test_disjoint_covering_equal(self):
+        from generativemodels_tpu.parallel import partition_files
+
+        paths = [f"f{i:02d}" for i in range(10)]
+        parts = [partition_files(paths, i, 3) for i in range(3)]
+        # equal sizes (lockstep), disjoint, and covering the truncated list
+        assert all(len(p) == 3 for p in parts)
+        merged = sorted(p for part in parts for p in part)
+        assert merged == sorted(paths[:9])
+
+    def test_single_process_identity(self):
+        from generativemodels_tpu.parallel import partition_files
+
+        paths = ["a", "b", "c"]
+        assert partition_files(paths, 0, 1) == paths
+
+    def test_errors(self):
+        from generativemodels_tpu.parallel import partition_files
+
+        with pytest.raises(ValueError, match="cannot be partitioned"):
+            partition_files(["only"], 0, 2)
+        with pytest.raises(ValueError, match="out of range"):
+            partition_files(["a", "b"], 2, 2)
+
+    def test_file_dataset_explicit_partition(self, tmp_path):
+        """file_dataset's process slicing composes with per-epoch shuffle:
+        shards stay disjoint+covering under the SAME global permutation."""
+        import numpy as np
+
+        from generativemodels_tpu.data import file_dataset
+
+        for i in range(6):
+            np.save(tmp_path / f"s{i}.npy", np.full((2, 2), float(i), np.float32))
+        shards = [
+            [int(a[0, 0]) for a in file_dataset(
+                str(tmp_path), loop=False, shuffle=True, seed=3,
+                process_index=r, process_count=2,
+            )]
+            for r in range(2)
+        ]
+        assert len(shards[0]) == len(shards[1]) == 3
+        assert sorted(shards[0] + shards[1]) == [0, 1, 2, 3, 4, 5]
