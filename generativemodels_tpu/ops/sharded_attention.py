@@ -59,6 +59,7 @@ class SequenceShardingConfig:
     axis: str = "space"
     batch_axis: str = "data"
     impl: str = "allgather"  # or "ring"
+    causal_layout: str = "blocked"  # or "striped" (zigzag, balanced)
 
 
 _CTX: ContextVar[SequenceShardingConfig | None] = ContextVar(
@@ -72,18 +73,29 @@ def sequence_sharding(
     axis: str = "space",
     batch_axis: str = "data",
     impl: str = "allgather",
+    causal_layout: str = "blocked",
 ):
     """Route eligible attention calls through sequence-parallel shard_map.
 
     Must wrap the TRACE of the jitted function (define or first-call the
     jit inside this context); a function already traced without the
     context will not retrace.
+
+    `causal_layout="striped"` (allgather impl, causal only): zigzag
+    half-block ownership balancing the causal triangle exactly across
+    chips — see `sequence_parallel_attention`.
     """
     if impl not in ("allgather", "ring"):
         raise ValueError(f"impl must be 'allgather' or 'ring', got {impl!r}")
+    if causal_layout not in ("blocked", "striped"):
+        raise ValueError(
+            f"causal_layout must be 'blocked' or 'striped', got {causal_layout!r}"
+        )
     if axis not in mesh.axis_names:
         raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
-    token = _CTX.set(SequenceShardingConfig(mesh, axis, batch_axis, impl))
+    token = _CTX.set(
+        SequenceShardingConfig(mesh, axis, batch_axis, impl, causal_layout)
+    )
     try:
         yield
     finally:
@@ -185,11 +197,18 @@ def sequence_parallel_attention(
     rows [r*S/n, (r+1)*S/n) and attends keys <= its global row. Both
     impls take the einsum path for the masked work (the flash kernel's
     causal mode has no row-offset input), which is the right tool at AR
-    sequence lengths; allgather stays fully differentiable. Chips own
-    uniform row blocks, so late ranks attend more keys than early ones —
-    the classic causal load imbalance (worst chip does ~2x the ideal
-    balanced work; a striped layout would fix it at the cost of a
-    permuted token order).
+    sequence lengths; allgather stays fully differentiable, and the ring
+    differentiates too (its masked chunks are einsum — grad-parity
+    tested). With `cfg.causal_layout="blocked"` chips own uniform row
+    blocks, so late ranks attend more keys than early ones — the classic
+    causal load imbalance (worst chip attends ~2x the balanced-ideal key
+    count). `"striped"` (allgather impl) fixes it exactly: zigzag
+    half-block ownership {r, 2n-1-r} makes every chip's attended-key
+    total the constant S+S/(2n), at the cost of two tiny Q/out ppermutes.
+    Note today's masked path computes the dense rectangle either way
+    (einsum applies the mask after the matmul), so the layouts currently
+    tie on wall-clock; striping is what makes a future block-skipping
+    masked kernel scale without a straggler chip, and it costs ~nothing.
     """
     from .attention import dot_product_attention
 
@@ -211,6 +230,12 @@ def sequence_parallel_attention(
 
     sq_l = s // n
 
+    striped = causal and cfg.causal_layout == "striped" and cfg.impl == "allgather"
+    if striped and sq_l % 2:
+        raise ValueError(
+            f"striped causal layout needs an even local sequence ({sq_l})"
+        )
+
     if cfg.impl == "allgather":
 
         def local(ql, kl, vl):
@@ -222,11 +247,52 @@ def sequence_parallel_attention(
                     use_flash=use_flash, seq_shard=False,
                 )
             r = jax.lax.axis_index(cfg.axis)
-            mask = _causal_chunk_mask(sq_l, s, r * sq_l, 0)
-            out, _ = _chunk_attention_with_lse(
-                ql, kg, vg, num_heads, scale, upcast, use_flash, mask=mask
+            if not striped:
+                mask = _causal_chunk_mask(sq_l, s, r * sq_l, 0)
+                out, _ = _chunk_attention_with_lse(
+                    ql, kg, vg, num_heads, scale, upcast, use_flash, mask=mask
+                )
+                return out.astype(ql.dtype).reshape(ql.shape[0], sq_l, -1)
+
+            # Striped (zigzag) causal layout: blocked ownership makes the
+            # last chip attend ~2x the balanced-ideal key count (rows
+            # [s-s/n, s) see every key; rows [0, s/n) see almost none).
+            # Split the sequence into 2n half-blocks H_0..H_{2n-1} (h rows
+            # each); chip r computes H_r AND H_{2n-1-r}, whose attended-key
+            # totals sum to the constant (2n-1+1)*h rows — every chip does
+            # IDENTICAL causal work. Q halves are re-homed with two
+            # ppermutes (2*h*d bytes/chip each way — negligible next to the
+            # (n-1)/n*2*s*d K/V all-gather), outputs ppermute back, K/V
+            # stay in natural order (masks encode global positions), and
+            # everything is ppermute/einsum so AD works end-to-end.
+            h = sq_l // 2
+
+            def owner(j: int) -> int:  # zigzag owner of half-block j
+                return j if j < n else 2 * n - 1 - j
+
+            perm_lo = [(src, owner(2 * src)) for src in range(n)]
+            perm_hi = [(src, owner(2 * src + 1)) for src in range(n)]
+            q_lo = jax.lax.ppermute(ql[:, :h], cfg.axis, perm_lo)
+            q_hi = jax.lax.ppermute(ql[:, h:], cfg.axis, perm_hi)
+            # chip r now holds half-blocks {r, 2n-1-r}: the even-indexed
+            # one arrived via perm_lo, the odd one via perm_hi
+            j_even = jnp.where(r % 2 == 0, r, 2 * n - 1 - r)
+            j_odd = jnp.where(r % 2 == 0, 2 * n - 1 - r, r)
+            qz = jnp.concatenate([q_lo, q_hi], axis=1)
+            q_idx = jnp.concatenate(
+                [j_even * h + jnp.arange(h), j_odd * h + jnp.arange(h)]
             )
-            return out.astype(ql.dtype).reshape(ql.shape[0], sq_l, -1)
+            mask = q_idx[:, None] >= jnp.arange(s)[None, :]
+            out, _ = _chunk_attention_with_lse(
+                qz, kg, vg, num_heads, scale, upcast, use_flash, mask=mask
+            )
+            out = out.astype(ql.dtype).reshape(ql.shape[0], sq_l, -1)
+            # route outputs back to the natural blocked layout
+            inv_lo = [(dst, src) for src, dst in perm_lo]
+            inv_hi = [(dst, src) for src, dst in perm_hi]
+            o_lo = jax.lax.ppermute(out[:, :h], cfg.axis, inv_lo)
+            o_hi = jax.lax.ppermute(out[:, h:], cfg.axis, inv_hi)
+            return jnp.concatenate([o_lo, o_hi], axis=1)
 
     else:  # ring
 

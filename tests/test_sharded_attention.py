@@ -130,6 +130,73 @@ class TestSequenceParallelCorrectness:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@needs_8
+class TestStripedCausalLayout:
+    """Zigzag half-block ownership for causal sharded attention (round-5
+    VERDICT item 8): blocked ownership gives the last chip ~2x the
+    balanced-ideal attended-key count (worst chip owns rows [s-s/n, s),
+    attending every key); the striped layout pairs half-blocks {r, 2n-1-r}
+    so every chip's causal work is the identical constant (s+h rows of
+    keys) by construction. Everything is ppermute + einsum, so AD works
+    end-to-end (the long-context AR TRAINING case)."""
+
+    def test_causal_striped_matches_unsharded(self):
+        q, k, v = _qkv(seed=8)
+        ref = dot_product_attention(q, k, v, 2, causal=True)
+        mesh = create_mesh({"data": 2, "space": 4})
+        with sequence_sharding(mesh, impl="allgather", causal_layout="striped"):
+            out = jax.jit(
+                lambda q, k, v: dot_product_attention(q, k, v, 2, causal=True)
+            )(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_causal_striped_gradients_match(self):
+        q, k, v = _qkv(seed=9)
+        mesh = create_mesh({"data": 2, "space": 4})
+
+        def loss(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v, 2, causal=True) ** 2)
+
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        with sequence_sharding(mesh, impl="allgather", causal_layout="striped"):
+            g_sh = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+        for a, b in zip(g_sh, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_causal_ring_gradients_match(self):
+        """The ring impl trains too: under AD its masked chunks run the
+        differentiable einsum path (the flash-with-lse wrapper is
+        forward-only, ops/sharded_attention.py module docstring) — grads
+        must match the unsharded reference. The TRAINING DEFAULT remains
+        allgather (docs/PERFORMANCE.md: at <=8 chips full K/V fits HBM
+        trivially and the one fused collective beats n-1 hop dispatches)."""
+        q, k, v = _qkv(seed=10)
+        mesh = create_mesh({"data": 2, "space": 4})
+
+        def loss(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v, 2, causal=True) ** 2)
+
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        with sequence_sharding(mesh, impl="ring"):
+            g_sh = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+        for a, b in zip(g_sh, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_noncausal_ignores_layout(self):
+        q, k, v = _qkv(seed=11)
+        ref = dot_product_attention(q, k, v, 2)
+        mesh = create_mesh({"data": 2, "space": 4})
+        with sequence_sharding(mesh, causal_layout="striped"):
+            out = jax.jit(lambda q, k, v: dot_product_attention(q, k, v, 2))(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_bad_layout_rejected(self):
+        mesh = create_mesh({"data": 2, "space": 4})
+        with pytest.raises(ValueError, match="causal_layout"):
+            with sequence_sharding(mesh, causal_layout="diagonal"):
+                pass
+
+
 class TestChunkCombineMath:
     def test_four_chunk_logsumexp_combine_is_exact(self):
         """The ring's chunk-combination formula reproduces full softmax
