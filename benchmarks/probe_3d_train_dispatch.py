@@ -67,9 +67,10 @@ def main() -> None:
     apply, scheduler, tx, params = build()
     results = {}
 
-    # a) python loop (bench.py method)
+    # a) python loop (bench.py method); fresh param copies per variant —
+    # the donated step deletes its input state's buffers
     step = make_diffusion_train_step(apply, scheduler, tx)
-    state = init_train_state(params, tx)
+    state = init_train_state(jax.tree.map(jnp.copy, params), tx)
     images = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, SIZE, SIZE, SIZE))
     rng = jax.random.PRNGKey(2)
     for _ in range(3):
@@ -86,7 +87,7 @@ def main() -> None:
     # b) K-step scan (production loop: K optimizer steps per dispatch)
     for k in (4, 8):
         multi = make_multi_step_train(apply, scheduler, tx, steps_per_call=k)
-        mstate = init_train_state(params, tx)
+        mstate = init_train_state(jax.tree.map(jnp.copy, params), tx)
         stacked = jax.device_put(
             jax.random.uniform(jax.random.PRNGKey(3), (k, 1, 1, SIZE, SIZE, SIZE))
         )
