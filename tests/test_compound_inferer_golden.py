@@ -1127,3 +1127,178 @@ class TestVQVAETransformerGolden:
             jnp.asarray(x), vq_bound, tr_bound, f_ord
         )
         assert_close(ll_f, ll_t, "3D likelihood map")
+
+
+# ---------------------------------------------------------------------------
+# SPADE through the LatentDiffusionInferer (seg routed BOTH to the SPADE
+# UNet per step and to the SPADE decoder at the end)
+# ---------------------------------------------------------------------------
+
+SPADE_UNET_LAT_2D = dict(
+    spatial_dims=2,
+    in_channels=3,
+    out_channels=3,
+    label_nc=3,
+    num_res_blocks=(1, 1),
+    num_channels=(8, 8),
+    attention_levels=(False, True),
+    norm_num_groups=8,
+    num_head_channels=4,
+)
+
+SPADE_AEKL_CFG_2D = dict(
+    spatial_dims=2,
+    in_channels=1,
+    out_channels=1,
+    label_nc=3,
+    num_res_blocks=(1, 1),
+    num_channels=(8, 8),
+    attention_levels=(False, False),
+    latent_channels=3,
+    norm_num_groups=8,
+)
+
+
+class _EpsSPADEAEKL:
+    """SPADE AEKL shim: pinned reparameterisation eps + seg-aware decode.
+
+    Exposes `label_nc` so the inferer's SPADE detection
+    (inferers/latent.py _takes_seg, mirroring the reference's
+    isinstance(autoencoder_model, SPADEAutoencoderKL) at
+    inferer.py:464-470) routes `seg` into the decode."""
+
+    def __init__(self, bound, eps, label_nc):
+        self._bound = bound
+        self._eps = jnp.asarray(eps)
+        self.label_nc = label_nc
+
+    def encode_stage_2_inputs(self, x):
+        z_mu, z_sigma = self._bound.encode(x)
+        return z_mu + self._eps * z_sigma
+
+    def decode_stage_2_outputs(self, z, seg=None):
+        return self._bound.decode_stage_2_outputs(z, seg)
+
+
+class TestSPADELatentGolden:
+    """The reference wires seg to TWO places the component goldens can't
+    see together: partial(diffusion_model, seg=seg) around every UNet
+    eval (inferer.py:393,457-459) and the SPADEAutoencoderKL decode
+    (inferer.py:464-470)."""
+
+    @pytest.fixture(scope="class")
+    def stack(self):
+        from generativemodels_tpu.networks.nets import (
+            SPADEAutoencoderKL,
+            SPADEDiffusionModelUNet,
+        )
+
+        rs = np.random.RandomState(21)
+        eps = rs.randn(2, 3, 8, 8).astype(np.float32)
+
+        torch.manual_seed(0)
+        ref_ae = ref_nets.SPADEAutoencoderKL(**SPADE_AEKL_CFG_2D)
+        ref_ae.eval()
+        randomize(ref_ae, 31)
+        ae = SPADEAutoencoderKL(**SPADE_AEKL_CFG_2D)
+        rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}
+        ae_struct = zc.params_structure(
+            ae, jnp.zeros((2, 1, 16, 16)), jnp.zeros((2, 3, 16, 16)), rngs=rngs
+        )
+        ae_params = zc.convert_spade_autoencoderkl(
+            ref_ae.state_dict(),
+            ae_struct,
+            num_channels=SPADE_AEKL_CFG_2D["num_channels"],
+            num_res_blocks=SPADE_AEKL_CFG_2D["num_res_blocks"],
+            attention_levels=SPADE_AEKL_CFG_2D["attention_levels"],
+        )
+        ae_shim = _EpsSPADEAEKL(
+            ae.bind({"params": ae_params}), eps, SPADE_AEKL_CFG_2D["label_nc"]
+        )
+
+        ref_unet = ref_nets.SPADEDiffusionModelUNet(**SPADE_UNET_LAT_2D)
+        ref_unet.eval()
+        randomize(ref_unet, 32)
+        unet = SPADEDiffusionModelUNet(**SPADE_UNET_LAT_2D)
+        u_struct = zc.params_structure(
+            unet,
+            jnp.zeros((2, 3, 8, 8)),
+            jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2, 3, 8, 8)),
+        )
+        u_params = zc.convert_spade_diffusion_model_unet(
+            ref_unet.state_dict(), u_struct
+        )
+
+        def unet_fn(x, timesteps, context=None, seg=None):
+            return unet.apply({"params": u_params}, x, timesteps, seg, context=context)
+
+        return rs, eps, ref_ae, ae_shim, ref_unet, unet_fn
+
+    def test_call_train_forward_with_seg(self, stack):
+        rs, eps, ref_ae, ae_shim, ref_unet, unet_fn = stack
+        x = rs.rand(2, 1, 16, 16).astype(np.float32)
+        # seg at IMAGE resolution for the decoder; the latent UNet's SPADE
+        # norms downscale it internally (reference passes one seg to both)
+        seg_lat = (rs.rand(2, 3, 8, 8) > 0.5).astype(np.float32)
+        noise = rs.randn(2, 3, 8, 8).astype(np.float32)
+        ts = np.array([2, 7])
+
+        t_inf = ref_inf.LatentDiffusionInferer(
+            ref_sched.DDPMScheduler(num_train_timesteps=10), scale_factor=0.6
+        )
+        with patched_randn_like(eps), torch.no_grad():
+            pred_t = t_inf(
+                inputs=torch.from_numpy(x),
+                autoencoder_model=ref_ae,
+                diffusion_model=ref_unet,
+                noise=torch.from_numpy(noise),
+                timesteps=torch.from_numpy(ts),
+                seg=torch.from_numpy(seg_lat),
+            )
+        f_inf = LatentDiffusionInferer(
+            DDPMScheduler(num_train_timesteps=10), scale_factor=0.6
+        )
+        pred_f = f_inf(
+            jnp.asarray(x), ae_shim, unet_fn, jnp.asarray(noise),
+            jnp.asarray(ts), seg=jnp.asarray(seg_lat),
+        )
+        assert_close(pred_f, pred_t, "SPADE latent train forward")
+
+    def test_sample_routes_seg_to_unet_and_decoder(self, stack):
+        rs, eps, ref_ae, ae_shim, ref_unet, unet_fn = stack
+        seg_lat = (rs.rand(2, 3, 8, 8) > 0.5).astype(np.float32)
+        z = rs.randn(2, 3, 8, 8).astype(np.float32)
+
+        t_s = ref_sched.DDIMScheduler(num_train_timesteps=1000)
+        t_s.set_timesteps(5)
+        t_inf = ref_inf.LatentDiffusionInferer(
+            ref_sched.DDPMScheduler(num_train_timesteps=10), scale_factor=0.6
+        )
+        with torch.no_grad():
+            img_t = t_inf.sample(
+                input_noise=torch.from_numpy(z),
+                autoencoder_model=ref_ae,
+                diffusion_model=ref_unet,
+                scheduler=t_s,
+                seg=torch.from_numpy(seg_lat),
+                verbose=False,
+            )
+        f_s = DDIMScheduler(num_train_timesteps=1000)
+        f_s.set_timesteps(5)
+        f_inf = LatentDiffusionInferer(
+            DDPMScheduler(num_train_timesteps=10), scale_factor=0.6
+        )
+        img_f = f_inf.sample(
+            jnp.asarray(z), ae_shim, unet_fn, scheduler=f_s, eta=0.0,
+            seg=jnp.asarray(seg_lat),
+        )
+        assert_close(img_f, img_t, "SPADE latent sample (seg to UNet + decoder)")
+
+        # the seg genuinely matters on both routes: a different seg must
+        # change the output (guards against silently dropping the kwarg)
+        other = f_inf.sample(
+            jnp.asarray(z), ae_shim, unet_fn, scheduler=f_s, eta=0.0,
+            seg=jnp.asarray(1.0 - seg_lat),
+        )
+        assert float(jnp.abs(other - img_f).max()) > 1e-3
