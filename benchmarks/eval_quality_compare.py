@@ -27,6 +27,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if "--cpu" in sys.argv:
+    # identical protocol on the CPU backend (e.g. when the TPU tunnel is
+    # unavailable); the distribution metrics are backend-independent —
+    # only the recorded wall times change
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 TRAIN_STEPS = 300
 BATCH = 16
 SIZE = 32

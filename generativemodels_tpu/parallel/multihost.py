@@ -65,11 +65,23 @@ def initialize_multihost(
         kwargs["local_device_ids"] = local_device_ids
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as exc:
         # already initialised, or single-process with no pod metadata and
         # no explicit coordinator: run single-host
         if coordinator_address is not None:
             raise
+        import warnings
+
+        warnings.warn(
+            "initialize_multihost: jax.distributed.initialize could not "
+            f"auto-detect a pod ({exc}); continuing SINGLE-HOST. If this "
+            "is a real multi-host pod, every host would otherwise train "
+            "independently on the full dataset — pass coordinator_address/"
+            "num_processes/process_id or set GMTPU_COORD/GMTPU_NPROC/"
+            "GMTPU_RANK.",
+            UserWarning,
+            stacklevel=2,
+        )
     return jax.process_index(), jax.process_count()
 
 
