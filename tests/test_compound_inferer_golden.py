@@ -1302,3 +1302,126 @@ class TestSPADELatentGolden:
             seg=jnp.asarray(1.0 - seg_lat),
         )
         assert float(jnp.abs(other - img_f).max()) > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# mode="concat" conditioning through the inferers (reference inferer.py:
+# 71-76 base, 389-401 latent [condition concatenated in LATENT space],
+# 610-616 ControlNet [the ControlNet sees the CONCATENATED input too])
+# ---------------------------------------------------------------------------
+
+class TestConcatConditioningGolden:
+    def test_base_inferer_concat_call_and_sample(self):
+        from generativemodels_tpu.inferers import DiffusionInferer
+
+        cfg = dict(UNET_IMG_2D, in_channels=2)
+        ref_unet, unet_fn = build_unet(cfg, seed=41, latent_shape=(2, 2, 16, 16))
+        rs = np.random.RandomState(42)
+        x = rs.rand(2, 1, 16, 16).astype(np.float32)
+        cond = rs.rand(2, 1, 16, 16).astype(np.float32)
+        noise = rs.randn(2, 1, 16, 16).astype(np.float32)
+        ts = np.array([2, 6])
+
+        t_inf = ref_inf.DiffusionInferer(ref_sched.DDPMScheduler(num_train_timesteps=10))
+        with torch.no_grad():
+            pred_t = t_inf(
+                inputs=torch.from_numpy(x), diffusion_model=ref_unet,
+                noise=torch.from_numpy(noise), timesteps=torch.from_numpy(ts),
+                condition=torch.from_numpy(cond), mode="concat",
+            )
+        f_inf = DiffusionInferer(DDPMScheduler(num_train_timesteps=10))
+        pred_f = f_inf(
+            jnp.asarray(x), unet_fn, jnp.asarray(noise), jnp.asarray(ts),
+            condition=jnp.asarray(cond), mode="concat",
+        )
+        assert_close(pred_f, pred_t, "concat train forward")
+
+        z = rs.randn(2, 1, 16, 16).astype(np.float32)
+        t_s = ref_sched.DDIMScheduler(num_train_timesteps=1000)
+        t_s.set_timesteps(5)
+        with torch.no_grad():
+            img_t = t_inf.sample(
+                input_noise=torch.from_numpy(z), diffusion_model=ref_unet,
+                scheduler=t_s, conditioning=torch.from_numpy(cond),
+                mode="concat", verbose=False,
+            )
+        f_s = DDIMScheduler(num_train_timesteps=1000)
+        f_s.set_timesteps(5)
+        img_f = f_inf.sample(
+            jnp.asarray(z), unet_fn, scheduler=f_s,
+            conditioning=jnp.asarray(cond), mode="concat", eta=0.0,
+        )
+        assert_close(img_f, img_t, "concat sample")
+
+    def test_controlnet_inferer_concat_feeds_controlnet_concat_input(self):
+        cn_cfg = dict(CN_IMG_2D, in_channels=2)
+        unet_cfg = dict(UNET_IMG_2D, in_channels=2)
+        ref_cn, cn_fn = build_controlnet(
+            cn_cfg, seed=43, latent_shape=(2, 2, 16, 16), cond_shape=(2, 1, 16, 16)
+        )
+        ref_unet, unet_fn = build_unet(unet_cfg, seed=44, latent_shape=(2, 2, 16, 16))
+        rs = np.random.RandomState(45)
+        x = rs.rand(2, 1, 16, 16).astype(np.float32)
+        cond = rs.rand(2, 1, 16, 16).astype(np.float32)
+        cn_cond = rs.rand(2, 1, 16, 16).astype(np.float32)
+        noise = rs.randn(2, 1, 16, 16).astype(np.float32)
+        ts = np.array([1, 7])
+
+        t_inf = ref_inf.ControlNetDiffusionInferer(
+            ref_sched.DDPMScheduler(num_train_timesteps=10)
+        )
+        with torch.no_grad():
+            pred_t = t_inf(
+                inputs=torch.from_numpy(x), diffusion_model=ref_unet,
+                controlnet=ref_cn, noise=torch.from_numpy(noise),
+                timesteps=torch.from_numpy(ts),
+                cn_cond=torch.from_numpy(cn_cond),
+                condition=torch.from_numpy(cond), mode="concat",
+            )
+        f_inf = ControlNetDiffusionInferer(DDPMScheduler(num_train_timesteps=10))
+
+        def dm(xx, tt, context=None, down_block_additional_residuals=None,
+               mid_block_additional_residual=None):
+            return unet_fn(
+                xx, tt, context=context,
+                down_block_additional_residuals=down_block_additional_residuals,
+                mid_block_additional_residual=mid_block_additional_residual,
+            )
+
+        pred_f = f_inf(
+            jnp.asarray(x), dm, cn_fn, jnp.asarray(noise), jnp.asarray(ts),
+            cn_cond=jnp.asarray(cn_cond), condition=jnp.asarray(cond),
+            mode="concat",
+        )
+        assert_close(pred_f, pred_t, "ControlNet concat train forward")
+
+    def test_latent_inferer_concat_in_latent_space(self):
+        rs = np.random.RandomState(46)
+        eps = rs.randn(2, 3, 8, 8).astype(np.float32)
+        ref_ae, ae_shim = build_aekl(AEKL_CFG_2D, seed=47, x_shape=(2, 1, 16, 16), eps=eps)
+        unet_cfg = dict(UNET_LAT_2D, in_channels=4, out_channels=3)
+        ref_unet, unet_fn = build_unet(unet_cfg, seed=48, latent_shape=(2, 4, 8, 8))
+
+        x = rs.rand(2, 1, 16, 16).astype(np.float32)
+        cond_lat = rs.rand(2, 1, 8, 8).astype(np.float32)  # latent-space condition
+        noise = rs.randn(2, 3, 8, 8).astype(np.float32)
+        ts = np.array([3, 8])
+
+        t_inf = ref_inf.LatentDiffusionInferer(
+            ref_sched.DDPMScheduler(num_train_timesteps=10), scale_factor=0.5
+        )
+        with patched_randn_like(eps), torch.no_grad():
+            pred_t = t_inf(
+                inputs=torch.from_numpy(x), autoencoder_model=ref_ae,
+                diffusion_model=ref_unet, noise=torch.from_numpy(noise),
+                timesteps=torch.from_numpy(ts),
+                condition=torch.from_numpy(cond_lat), mode="concat",
+            )
+        f_inf = LatentDiffusionInferer(
+            DDPMScheduler(num_train_timesteps=10), scale_factor=0.5
+        )
+        pred_f = f_inf(
+            jnp.asarray(x), ae_shim, unet_fn, jnp.asarray(noise),
+            jnp.asarray(ts), condition=jnp.asarray(cond_lat), mode="concat",
+        )
+        assert_close(pred_f, pred_t, "latent concat train forward")
