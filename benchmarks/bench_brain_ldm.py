@@ -32,7 +32,16 @@ LATENT_SHAPE = (1, 3, 20, 28, 20)  # bundle latent (160/8, 224/8, 160/8)
 
 
 def main() -> None:
+    import argparse
+
     import jax.numpy as _jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--solver", choices=["ddim", "dpmsolver"], default="ddim")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="inference steps (default 50 ddim / 10 dpmsolver)")
+    args = ap.parse_args()
+    steps = args.steps or (10 if args.solver == "dpmsolver" else 50)
 
     parser = load_preset("brain_3d_ldm")
     # the preset mirrors the bundle's concat+crossattn conditioning
@@ -44,6 +53,16 @@ def main() -> None:
     )
     aekl = parser.resolve("autoencoder").clone(dtype=_jnp.bfloat16)
     scheduler = parser.resolve("scheduler")
+    if args.solver == "dpmsolver":
+        # same trained field (bundle beta schedule), fast ODE solver
+        from generativemodels_tpu.networks.schedulers import (
+            DPMSolverMultistepScheduler,
+        )
+
+        scheduler = DPMSolverMultistepScheduler(
+            num_train_timesteps=1000, schedule="scaled_linear_beta",
+            beta_start=0.0015, beta_end=0.0205,
+        )
 
     x_unet = jnp.zeros((1, LATENT_SHAPE[1], *LATENT_SHAPE[2:]))
     ctx = jnp.zeros((1, 1, 4))
@@ -69,7 +88,7 @@ def main() -> None:
         return sample_brain_ldm(
             unet_fn, BoundAekl(), scheduler, LATENT_SHAPE,
             gender=0.0, age=0.5, ventricular_vol=0.2, brain_vol=0.6,
-            num_inference_steps=50, key=key,
+            num_inference_steps=steps, key=key,
         )
 
     jitted = jax.jit(_sample)
@@ -88,18 +107,18 @@ def main() -> None:
     per_sample = (time.time() - t0) / runs
 
     result = {
-        "metric": "brain_ldm_bundle_samples_per_min",
+        "metric": f"brain_ldm_bundle_{args.solver}{steps}_samples_per_min",
         "value": round(60.0 / per_sample, 2),
         "seconds_per_sample": round(per_sample, 3),
         "out_shape": list(img.shape),
-        "ddim_steps": 50,
+        "solver": args.solver, "steps": steps,
         "init_s": round(init_s, 1),
         "compile_s": round(compile_s, 1),
         "config": "zoo bundle config: UNet(256,512,768) @ (3,20,28,20) latent + AEKL(64,128,128,128) decode to 160x224x160",
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
-    with open(os.path.join(os.path.dirname(__file__), "results_brain_ldm.json"), "w") as f:
+    with open(os.path.join(os.path.dirname(__file__), "results_brain_ldm.json" if args.solver == "ddim" else "results_brain_ldm_dpm.json"), "w") as f:
         json.dump(result, f, indent=1)
 
 

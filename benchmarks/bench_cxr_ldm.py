@@ -30,10 +30,28 @@ LATENT_SHAPE = (1, 3, 64, 64)  # 512 / 8
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--solver", choices=["ddim", "dpmsolver"], default="ddim")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="inference steps (default 50 ddim / 10 dpmsolver)")
+    args = ap.parse_args()
+    steps = args.steps or (10 if args.solver == "dpmsolver" else 50)
+
     parser = load_preset("cxr_ldm")
     unet = parser.resolve("network").clone(dtype=jnp.bfloat16)
     aekl = parser.resolve("autoencoder").clone(dtype=jnp.bfloat16)
     scheduler = parser.resolve("scheduler")
+    if args.solver == "dpmsolver":
+        from generativemodels_tpu.networks.schedulers import (
+            DPMSolverMultistepScheduler,
+        )
+
+        scheduler = DPMSolverMultistepScheduler(
+            num_train_timesteps=1000, schedule="scaled_linear_beta",
+            beta_start=0.0015, beta_end=0.0205,
+        )
     scale_factor = parser.resolve("scale_factor")
 
     ctx = jnp.zeros((1, 77, 1024))  # CLIP text embedding sequence
@@ -45,7 +63,7 @@ def main() -> None:
     aekl_vars = jax.jit(aekl.init)(jax.random.PRNGKey(1), jnp.zeros((1, 1, 64, 64)))
     init_s = time.time() - t0
 
-    scheduler.set_timesteps(50)
+    scheduler.set_timesteps(steps)
     inferer = LatentDiffusionInferer(scheduler, scale_factor=scale_factor)
 
     def _sample(uv, av, context, key):
@@ -77,18 +95,18 @@ def main() -> None:
     per_sample = (time.time() - t0) / runs
 
     result = {
-        "metric": "cxr_ldm_bundle_samples_per_min",
+        "metric": f"cxr_ldm_bundle_{args.solver}{steps}_samples_per_min",
         "value": round(60.0 / per_sample, 2),
         "seconds_per_sample": round(per_sample, 3),
         "out_shape": list(img.shape),
-        "ddim_steps": 50,
+        "solver": args.solver, "steps": steps,
         "init_s": round(init_s, 1),
         "compile_s": round(compile_s, 1),
         "config": "zoo bundle config: UNet(256,512,768) @ (3,64,64) latent, 77x1024 text context, AEKL decode to 512x512",
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
-    with open(os.path.join(os.path.dirname(__file__), "results_cxr_ldm.json"), "w") as f:
+    with open(os.path.join(os.path.dirname(__file__), "results_cxr_ldm.json" if args.solver == "ddim" else "results_cxr_ldm_dpm.json"), "w") as f:
         json.dump(result, f, indent=1)
 
 
