@@ -22,7 +22,11 @@ import jax.numpy as jnp
 
 from generativemodels_tpu.inferers import DiffusionInferer
 from generativemodels_tpu.networks.nets import DiffusionModelUNet
-from generativemodels_tpu.networks.schedulers import DDIMScheduler, DDPMScheduler
+from generativemodels_tpu.networks.schedulers import (
+    DDIMScheduler,
+    DDPMScheduler,
+    DPMSolverMultistepScheduler,
+)
 
 BATCH, SIZE = 64, 64
 
@@ -45,6 +49,7 @@ def main() -> None:
     for label, scheduler, steps in (
         ("ddpm1000", DDPMScheduler(num_train_timesteps=1000), 1000),
         ("ddim50", DDIMScheduler(num_train_timesteps=1000), 50),
+        ("dpmsolver10", DPMSolverMultistepScheduler(num_train_timesteps=1000), 10),
     ):
         scheduler.set_timesteps(steps)
         inferer = DiffusionInferer(scheduler)
