@@ -252,12 +252,13 @@ def _gaussian_eps_model(sched, m=0.3, s=0.5):
 
 
 class TestDPMSolver:
-    def _run(self, nsteps, x_start, *, order=2, spacing="uniform_lambda", pred="epsilon"):
+    def _run(self, nsteps, x_start, *, order=2, spacing="uniform_lambda", pred="epsilon", **kw):
         sch = DPMSolverMultistepScheduler(
             num_train_timesteps=1000,
             solver_order=order,
             timestep_spacing=spacing,
             prediction_type=pred,
+            **kw,
         )
         sch.set_timesteps(nsteps)
         eps = _gaussian_eps_model(sch)
@@ -309,6 +310,21 @@ class TestDPMSolver:
         assert e2_10 < e1 / 3
         assert e2_20 < e2_10
         assert e2_40 < e2_20
+
+    def test_second_order_convergence_scaled_linear(self):
+        """Same convergence property on the SCALED-linear beta schedule —
+        the one the model-zoo bundles train with (brain_3d_ldm / cxr_ldm
+        presets: beta 0.0015..0.0205 scaled_linear_beta), backing the
+        fast-solver bundle benchmarks (results_brain_ldm_dpm.json,
+        results_cxr_ldm_dpm.json)."""
+        kw = dict(schedule="scaled_linear_beta", beta_start=0.0015, beta_end=0.0205)
+        x_start = jnp.asarray(_rand((4, 8), 3))
+        ref = self._run(800, x_start, order=1, **kw)
+        e1 = np.abs(self._run(10, x_start, order=1, **kw) - ref).max()
+        e2_10 = np.abs(self._run(10, x_start, order=2, **kw) - ref).max()
+        e2_20 = np.abs(self._run(20, x_start, order=2, **kw) - ref).max()
+        assert e2_10 < e1 / 3
+        assert e2_20 < e2_10
 
     def test_prediction_type_consistency(self):
         """The same underlying model expressed as epsilon / sample /
