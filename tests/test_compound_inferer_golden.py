@@ -1425,3 +1425,37 @@ class TestConcatConditioningGolden:
             jnp.asarray(ts), condition=jnp.asarray(cond_lat), mode="concat",
         )
         assert_close(pred_f, pred_t, "latent concat train forward")
+
+
+class TestSaveIntermediatesGolden:
+    """The `t % intermediate_steps == 0` gating (reference inferer.py:138)
+    decides WHICH states a user inspects mid-trajectory — easy to get
+    subtly wrong (off-by-one on t vs step index, pre- vs post-update)."""
+
+    def test_sample_intermediates_match(self):
+        from generativemodels_tpu.inferers import DiffusionInferer
+
+        ref_unet, unet_fn = build_unet(UNET_IMG_2D, seed=51, latent_shape=(2, 1, 16, 16))
+        rs = np.random.RandomState(52)
+        z = rs.randn(2, 1, 16, 16).astype(np.float32)
+
+        t_s = ref_sched.DDIMScheduler(num_train_timesteps=1000)
+        t_s.set_timesteps(10)
+        t_inf = ref_inf.DiffusionInferer(ref_sched.DDPMScheduler(num_train_timesteps=10))
+        with torch.no_grad():
+            img_t, inter_t = t_inf.sample(
+                input_noise=torch.from_numpy(z), diffusion_model=ref_unet,
+                scheduler=t_s, save_intermediates=True, intermediate_steps=200,
+                verbose=False,
+            )
+        f_s = DDIMScheduler(num_train_timesteps=1000)
+        f_s.set_timesteps(10)
+        f_inf = DiffusionInferer(DDPMScheduler(num_train_timesteps=10))
+        img_f, inter_f = f_inf.sample(
+            jnp.asarray(z), unet_fn, scheduler=f_s, save_intermediates=True,
+            intermediate_steps=200, eta=0.0,
+        )
+        assert len(inter_f) == len(inter_t), (len(inter_f), len(inter_t))
+        for i, (a, b) in enumerate(zip(inter_f, inter_t)):
+            assert_close(a, b, f"intermediate {i}")
+        assert_close(img_f, img_t, "final image")
