@@ -347,6 +347,8 @@ def paired_stream(
     fit: str = "crop_pad",
     seed: int = 0,
     loop: bool = True,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Aligned (image, label) pairs for conditional recipes (the torch
     dict-dataset role in the reference SPADE / image-to-image tutorials).
@@ -357,6 +359,11 @@ def paired_stream(
     rescaled to [0, 1] and fitted with the requested mode; label maps
     keep their raw integer values and fit with nearest-neighbour
     semantics (zero-pad, or order=0 resize).
+
+    Multi-host pods partition pairs exactly like `file_dataset`: each
+    host takes its strided slice of the per-epoch GLOBAL permutation
+    (disjoint, covering, lockstep-truncated; auto when
+    jax.process_count() > 1).
     """
     from .transforms import ensure_channel_first, fit_sample
 
@@ -373,12 +380,20 @@ def paired_stream(
             "must pair 1:1 by sorted filename"
         )
 
+    if process_count is None:
+        process_count = jax.process_count()
+    multihost = process_count > 1 or process_index is not None
+
     nd = len(tuple(shape))
     epoch = 0
     while True:
         order = np.arange(len(images))
         rng = np.random.RandomState((seed + epoch) & 0x7FFFFFFF)
         rng.shuffle(order)
+        if multihost:
+            from ..parallel.multihost import partition_files
+
+            order = partition_files(list(order), process_index, process_count)
         for i in order:
             img = ensure_channel_first(_read_any(images[i]), nd)
             lab = ensure_channel_first(_read_label(labels[i]), nd)

@@ -667,3 +667,28 @@ class TestPartitionFiles:
         ]
         assert len(shards[0]) == len(shards[1]) == 3
         assert sorted(shards[0] + shards[1]) == [0, 1, 2, 3, 4, 5]
+
+    def test_paired_stream_explicit_partition(self, tmp_path):
+        """paired_stream shards like file_dataset: disjoint + covering
+        pairs under the same per-epoch global permutation, pairs intact."""
+        import numpy as np
+
+        from generativemodels_tpu.data import paired_stream
+
+        img_dir = tmp_path / "img"
+        lab_dir = tmp_path / "lab"
+        img_dir.mkdir()
+        lab_dir.mkdir()
+        for i in range(6):
+            np.save(img_dir / f"s{i}.npy", np.full((4, 4), float(i), np.float32))
+            np.save(lab_dir / f"s{i}.npy", np.full((4, 4), float(10 + i), np.float32))
+        shards = []
+        for r in range(2):
+            pairs = list(paired_stream(
+                str(img_dir), str(lab_dir), (4, 4), fit="none", seed=5,
+                loop=False, process_index=r, process_count=2,
+            ))
+            shards.append([(int(np.ravel(a)[0]), int(np.ravel(b)[0])) for a, b in pairs])
+        assert len(shards[0]) == len(shards[1]) == 3
+        merged = sorted(shards[0] + shards[1])
+        assert merged == [(i, 10 + i) for i in range(6)]  # pairs stay aligned
