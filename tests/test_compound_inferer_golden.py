@@ -1459,3 +1459,113 @@ class TestSaveIntermediatesGolden:
         for i, (a, b) in enumerate(zip(inter_f, inter_t)):
             assert_close(a, b, f"intermediate {i}")
         assert_close(img_f, img_t, "final image")
+
+
+class TestControlNetSPADELatentGolden:
+    """The DEEPEST composition the reference supports in one call
+    (inferer.py:920-1010): ControlNetLatentDiffusionInferer with a SPADE
+    UNet and a SPADE AEKL — cn_cond nearest-interpolated to the latent
+    shape and fed to the ControlNet (never seg), seg routed to the UNet
+    per step AND to the SPADE decode, all through converted-identical
+    nets."""
+
+    def _build(self):
+        from generativemodels_tpu.networks.nets import (
+            SPADEAutoencoderKL,
+            SPADEDiffusionModelUNet,
+        )
+
+        rs = np.random.RandomState(61)
+        eps = rs.randn(2, 3, 8, 8).astype(np.float32)
+
+        torch.manual_seed(0)
+        ref_ae = ref_nets.SPADEAutoencoderKL(**SPADE_AEKL_CFG_2D)
+        ref_ae.eval()
+        randomize(ref_ae, 62)
+        ae = SPADEAutoencoderKL(**SPADE_AEKL_CFG_2D)
+        rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}
+        ae_struct = zc.params_structure(
+            ae, jnp.zeros((2, 1, 16, 16)), jnp.zeros((2, 3, 16, 16)), rngs=rngs
+        )
+        ae_params = zc.convert_spade_autoencoderkl(
+            ref_ae.state_dict(), ae_struct,
+            num_channels=SPADE_AEKL_CFG_2D["num_channels"],
+            num_res_blocks=SPADE_AEKL_CFG_2D["num_res_blocks"],
+            attention_levels=SPADE_AEKL_CFG_2D["attention_levels"],
+        )
+        ae_shim = _EpsSPADEAEKL(
+            ae.bind({"params": ae_params}), eps, SPADE_AEKL_CFG_2D["label_nc"]
+        )
+
+        ref_unet = ref_nets.SPADEDiffusionModelUNet(**SPADE_UNET_LAT_2D)
+        ref_unet.eval()
+        randomize(ref_unet, 63)
+        unet = SPADEDiffusionModelUNet(**SPADE_UNET_LAT_2D)
+        u_struct = zc.params_structure(
+            unet, jnp.zeros((2, 3, 8, 8)), jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2, 3, 8, 8)),
+        )
+        u_params = zc.convert_spade_diffusion_model_unet(
+            ref_unet.state_dict(), u_struct
+        )
+
+        def unet_fn(x, timesteps, context=None, seg=None,
+                    down_block_additional_residuals=None,
+                    mid_block_additional_residual=None):
+            return unet.apply(
+                {"params": u_params}, x, timesteps, seg, context=context,
+                down_block_additional_residuals=down_block_additional_residuals,
+                mid_block_additional_residual=mid_block_additional_residual,
+            )
+
+        cn_cfg = dict(CN_LAT_2D, in_channels=3)
+        ref_cn, cn_fn = build_controlnet(
+            cn_cfg, seed=64, latent_shape=(2, 3, 8, 8), cond_shape=(2, 1, 8, 8)
+        )
+        return rs, eps, ref_ae, ae_shim, ref_unet, unet_fn, ref_cn, cn_fn
+
+    def test_call_and_sample(self):
+        rs, eps, ref_ae, ae_shim, ref_unet, unet_fn, ref_cn, cn_fn = self._build()
+        x = rs.rand(2, 1, 16, 16).astype(np.float32)
+        seg = (rs.rand(2, 3, 8, 8) > 0.5).astype(np.float32)
+        cn_cond = rs.rand(2, 1, 16, 16).astype(np.float32)  # IMAGE res
+        noise = rs.randn(2, 3, 8, 8).astype(np.float32)
+        ts = np.array([4, 9])
+
+        t_inf = ref_inf.ControlNetLatentDiffusionInferer(
+            ref_sched.DDPMScheduler(num_train_timesteps=10), scale_factor=0.8
+        )
+        with patched_randn_like(eps), torch.no_grad():
+            pred_t = t_inf(
+                inputs=torch.from_numpy(x), autoencoder_model=ref_ae,
+                diffusion_model=ref_unet, controlnet=ref_cn,
+                noise=torch.from_numpy(noise), timesteps=torch.from_numpy(ts),
+                cn_cond=torch.from_numpy(cn_cond), seg=torch.from_numpy(seg),
+            )
+        f_inf = ControlNetLatentDiffusionInferer(
+            DDPMScheduler(num_train_timesteps=10), scale_factor=0.8
+        )
+        pred_f = f_inf(
+            jnp.asarray(x), ae_shim, unet_fn, cn_fn, jnp.asarray(noise),
+            jnp.asarray(ts), cn_cond=jnp.asarray(cn_cond), seg=jnp.asarray(seg),
+        )
+        assert_close(pred_f, pred_t, "CN+SPADE latent train forward")
+
+        z = rs.randn(2, 3, 8, 8).astype(np.float32)
+        t_s = ref_sched.DDIMScheduler(num_train_timesteps=1000)
+        t_s.set_timesteps(5)
+        with torch.no_grad():
+            img_t = t_inf.sample(
+                input_noise=torch.from_numpy(z), autoencoder_model=ref_ae,
+                diffusion_model=ref_unet, controlnet=ref_cn,
+                cn_cond=torch.from_numpy(cn_cond), scheduler=t_s,
+                seg=torch.from_numpy(seg), verbose=False,
+            )
+        f_s = DDIMScheduler(num_train_timesteps=1000)
+        f_s.set_timesteps(5)
+        img_f = f_inf.sample(
+            jnp.asarray(z), ae_shim, unet_fn, cn_fn,
+            cn_cond=jnp.asarray(cn_cond), scheduler=f_s, eta=0.0,
+            seg=jnp.asarray(seg),
+        )
+        assert_close(img_f, img_t, "CN+SPADE latent sample")
