@@ -180,6 +180,7 @@ def main() -> None:
     t0 = time.time()
     loss = jnp.nan
     real_batches = []
+    loss_curve = []
     for i in range(args.train_steps):
         rng, k_data, k_step = jax.random.split(rng, 3)
         if data_iter is not None:
@@ -190,6 +191,7 @@ def main() -> None:
             real_batches.append(images)
         state, loss = step(state, images, k_step)
         if (i + 1) % 50 == 0:
+            loss_curve.append([i + 1, round(float(loss), 5)])
             print(f"[train] step {i + 1} loss={float(loss):.4f}")
     train_s = time.time() - t0
     real = jnp.concatenate(real_batches)[: args.sample_count]
@@ -226,6 +228,7 @@ def main() -> None:
         "data": args.data_dir or "synthetic blobs",
         "train_steps": args.train_steps,
         "final_train_loss": float(loss),
+        "loss_curve": loss_curve,
         "train_seconds": round(train_s, 1),
         "sample_count": int(samples.shape[0]),
         "sample_seconds": round(sample_s, 1),
