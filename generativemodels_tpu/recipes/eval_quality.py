@@ -137,8 +137,12 @@ def main() -> None:
     parser.add_argument("--sample-count", type=int, default=None)
     parser.add_argument("--sample-batch", type=int, default=None)
     parser.add_argument("--ddim-steps", type=int, default=None)
-    parser.add_argument("--solver", choices=["ddim", "dpmsolver"], default="ddim",
-                        help="dpmsolver = DPM-Solver++ (2M) at --ddim-steps steps")
+    parser.add_argument("--solver", choices=["ddim", "dpmsolver", "sde-dpmsolver"],
+                        default="ddim",
+                        help="dpmsolver = DPM-Solver++ (2M) at --ddim-steps "
+                        "steps; sde-dpmsolver = the stochastic variant "
+                        "(DDPM-style sample diversity at few steps — "
+                        "measured: benchmarks/results_sde_diversity.json)")
     parser.add_argument("--data-dir", type=str, default=None)
     parser.add_argument("--fid-weights", type=str, default=None)
     parser.add_argument("--out", type=str, default="quality_results.json")
@@ -197,10 +201,14 @@ def main() -> None:
     real = jnp.concatenate(real_batches)[: args.sample_count]
 
     # ---- sampling (one lax.scan per batch) -----------------------------------
-    if args.solver == "dpmsolver":
+    if args.solver in ("dpmsolver", "sde-dpmsolver"):
         from ..networks.schedulers import DPMSolverMultistepScheduler
 
-        sched = DPMSolverMultistepScheduler(num_train_timesteps=1000)
+        sched = DPMSolverMultistepScheduler(
+            num_train_timesteps=1000,
+            algorithm_type="sde-dpmsolver++" if args.solver == "sde-dpmsolver"
+            else "dpmsolver++",
+        )
     else:
         sched = DDIMScheduler(num_train_timesteps=1000)
     sched.set_timesteps(args.ddim_steps)
